@@ -1,0 +1,291 @@
+"""Linearization: packed factors -> dense Jacobian rows over the window layout.
+
+This is the TPU replacement for Ceres' residual-block evaluation + sparse
+assembly (`trajectory_estimator.cpp:219-332`, Ceres SPARSE_NORMAL_CHOLESKY).
+Instead of a sparse matrix, every factor's block Jacobians are scattered
+into *dense rows* over the ~C=373-dim camera system; `H = J^T J` is then a
+single MXU matmul and the landmark block (kept separate, diagonal) is
+Schur-eliminated analytically. At the window's scale (≲11k rows, C≲512)
+dense-on-MXU beats any sparse scheme by a wide margin.
+
+Robust loss: Cauchy with scale c (≙ `trajectory_estimator.cpp:320-323`),
+applied as the sqrt(rho') rescaling — exactly what Ceres' Corrector does
+when rho'' <= 0, which is always the case for Cauchy (see the same logic in
+`marginalization_factor.cpp:39-67`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ctrlvio_tpu.ops import factors as F
+from ctrlvio_tpu.ops import spline
+from .layout import (BiasFactors, ImageFactors, ImuFactors, PriorFactor,
+                     SolveOptions, WindowConfig, WindowParams, boxminus_full)
+
+
+class Linearization(NamedTuple):
+    J: jnp.ndarray        # (R, C) dense camera-system Jacobian rows
+    r: jnp.ndarray        # (R,) residuals (robust-weighted)
+    J_lm: jnp.ndarray     # (OBS, 2) d r_img / d dinv (robust-weighted)
+    lm_idx: jnp.ndarray   # (OBS,)
+    obs_valid: jnp.ndarray  # (OBS,)
+    cost: jnp.ndarray     # robustified total cost (scalar)
+
+
+def _cauchy_weight_and_cost(r2, c):
+    """Per-factor robust weight sqrt(rho'(s)) and cost rho(s), s=||r||^2."""
+    b = c * c
+    w = 1.0 / jnp.sqrt(1.0 + r2 / b)
+    cost = b * jnp.log1p(r2 / b)
+    return w, cost
+
+
+def _image_blocks(params: WindowParams, img: ImageFactors, ext, cfg: WindowConfig,
+                  opts: SolveOptions, sqrt_info):
+    """Vmapped residual + tangent-block Jacobians for all image factors."""
+    dt = cfg.dt
+    inv_dt = jnp.asarray(1.0 / dt, dtype=params.knots_p.dtype)
+    ld = params.ld
+
+    # row-shifted grid coordinates, integer shift frozen at this linearization
+    ui_tot = img.f_i + img.row_i * ld * inv_dt
+    uj_tot = img.f_j + img.row_j * ld * inv_dt
+    shift_i = jnp.floor(ui_tot)
+    shift_j = jnp.floor(uj_tot)
+    s_i = jnp.clip(img.i0_i + shift_i.astype(jnp.int32), 0, cfg.KW - 4)
+    s_j = jnp.clip(img.i0_j + shift_j.astype(jnp.int32), 0, cfg.KW - 4)
+
+    q4i = spline.gather_local(params.knots_q, s_i)
+    p4i = spline.gather_local(params.knots_p, s_i)
+    q4j = spline.gather_local(params.knots_q, s_j)
+    p4j = spline.gather_local(params.knots_p, s_j)
+    dinv = params.dinv[img.lm_idx]
+
+    z43 = jnp.zeros((4, 3), dtype=p4i.dtype)
+    z1 = jnp.zeros((), dtype=p4i.dtype)
+
+    def one(q4i, p4i, q4j, p4j, dinv, fi, fj, sh_i, sh_j, row_i, row_j, pt_i, pt_j):
+        def f(xi_ri, xi_pi, xi_rj, xi_pj, d_dinv, d_ld):
+            return F.reproj_residual_tangent(
+                xi_ri, xi_pi, xi_rj, xi_pj, d_dinv, d_ld,
+                q4i, p4i, q4j, p4j, dinv, ld, fi, fj, sh_i, sh_j,
+                row_i, row_j, inv_dt, pt_i, pt_j, ext, sqrt_info,
+            )
+
+        r = f(z43, z43, z43, z43, z1, z1)
+        jac = jax.jacfwd(f, argnums=(0, 1, 2, 3, 4, 5))(z43, z43, z43, z43, z1, z1)
+        return r, jac
+
+    pt_i3 = img.pt_i
+    pt_j3 = img.pt_j
+    r, (J_ri, J_pi, J_rj, J_pj, J_d, J_ld) = jax.vmap(one)(
+        q4i, p4i, q4j, p4j, dinv, img.f_i, img.f_j, shift_i, shift_j,
+        img.row_i, img.row_j, pt_i3, pt_j3,
+    )
+    return r, J_ri, J_pi, J_rj, J_pj, J_d, J_ld, s_i, s_j
+
+
+def _imu_blocks(params: WindowParams, imu: ImuFactors, gravity, imu_info,
+                cfg: WindowConfig):
+    inv_dt = jnp.asarray(1.0 / cfg.dt, dtype=params.knots_p.dtype)
+    s = jnp.clip(imu.i0, 0, cfg.KW - 4)
+    q4 = spline.gather_local(params.knots_q, s)
+    p4 = spline.gather_local(params.knots_p, s)
+    bg = params.bg[imu.bias_idx]
+    ba = params.ba[imu.bias_idx]
+    z43 = jnp.zeros((4, 3), dtype=p4.dtype)
+    z3 = jnp.zeros((3,), dtype=p4.dtype)
+
+    def one(q4, p4, u, bg, ba, gy, ac):
+        def f(xi_r, xi_p, d_bg, d_ba):
+            return F.imu_residual_tangent(
+                xi_r, xi_p, d_bg, d_ba, q4, p4, u, inv_dt, bg, ba, gy, ac,
+                gravity, imu_info,
+            )
+
+        r = f(z43, z43, z3, z3)
+        jac = jax.jacfwd(f, argnums=(0, 1, 2, 3))(z43, z43, z3, z3)
+        return r, jac
+
+    r, (J_r, J_p, J_bg, J_ba) = jax.vmap(one)(q4, p4, imu.u, bg, ba, imu.gyro, imu.accel)
+    return r, J_r, J_p, J_bg, J_ba, s
+
+
+def _knot_cols(s, base):
+    """Column indices (..., 4, 3) for 4 consecutive knot blocks at s."""
+    k = s[..., None] + jnp.arange(4, dtype=s.dtype)  # (..., 4)
+    c0 = base + 3 * k  # (..., 4)
+    return c0[..., None] + jnp.arange(3, dtype=s.dtype)  # (..., 4, 3)
+
+
+def linearize(params: WindowParams, img: ImageFactors, imu: ImuFactors,
+              bias: BiasFactors, prior: PriorFactor, ext, gravity, imu_info,
+              sqrt_info_img, cfg: WindowConfig, opts: SolveOptions,
+              marg_mode: bool = False) -> Linearization:
+    """Evaluate all residuals + scatter block Jacobians into dense rows.
+
+    marg_mode=True restricts to the marginalization factor subset
+    (marg_drop flags, Cauchy scale 1 — ≙ `trajectory_estimator.cpp:321`)
+    and is used to build the prior.
+    """
+    dtype = params.knots_p.dtype
+    C = cfg.C
+    KW, NB = cfg.KW, cfg.NB
+    R_img = 2 * cfg.OBS
+    R_imu = 6 * cfg.MIMU
+    R_bias = 6 * (NB - 1)
+    R = R_img + R_imu + R_bias + C
+
+    img_active = jnp.logical_and(img.valid, img.marg_drop) if marg_mode else img.valid
+    imu_active = jnp.logical_and(imu.valid, imu.marg_drop) if marg_mode else imu.valid
+    cauchy_c = 1.0 if marg_mode else opts.cauchy_c
+
+    # ---- image factors -------------------------------------------------
+    (r_i, J_ri, J_pi, J_rj, J_pj, J_d, J_ld, s_i, s_j) = _image_blocks(
+        params, img, ext, cfg, opts, sqrt_info_img
+    )
+    w_img, cost_img = _cauchy_weight_and_cost(jnp.sum(r_i * r_i, axis=-1), cauchy_c)
+    m_img = img_active.astype(dtype)
+    w_img = w_img * m_img
+    cost = 0.5 * jnp.sum(cost_img * m_img)
+
+    r_img = (r_i * w_img[:, None]).reshape(-1)  # (2*OBS,)
+    J_lm = J_d * w_img[:, None]
+
+    # ---- imu factors ---------------------------------------------------
+    r_m, J_mr, J_mp, J_mbg, J_mba, s_m = _imu_blocks(params, imu, gravity, imu_info, cfg)
+    m_imu = imu_active.astype(dtype)
+    r_imu = (r_m * m_imu[:, None]).reshape(-1)
+    cost = cost + 0.5 * jnp.sum((r_m * m_imu[:, None]) ** 2)
+
+    # ---- bias factors --------------------------------------------------
+    bias_active = bias.valid
+    if marg_mode:
+        # only the first bias pair is marginalized (≙ trajectory_manager.cpp:255-263)
+        bias_active = jnp.logical_and(
+            bias.valid, jnp.arange(NB - 1) == 0
+        )
+    rb = jax.vmap(F.bias_residual)(
+        params.bg[:-1], params.bg[1:], params.ba[:-1], params.ba[1:], bias.sqrt_info
+    )  # (NB-1, 6)
+    m_bias = bias_active.astype(dtype)
+    r_bias = (rb * m_bias[:, None]).reshape(-1)
+    cost = cost + 0.5 * jnp.sum((rb * m_bias[:, None]) ** 2)
+
+    # ---- prior ---------------------------------------------------------
+    dx = boxminus_full(params, prior.knots_q0, prior.knots_p0, prior.bg0,
+                       prior.ba0, prior.ld0, cfg)
+    r_prior = prior.r0 + prior.J @ dx
+    if marg_mode:
+        # prior participates in the marg build (≙ trajectory_manager.cpp:166-203)
+        pass
+    cost = cost + 0.5 * jnp.sum(r_prior * r_prior)
+
+    # ---- scatter into dense rows --------------------------------------
+    J = jnp.zeros((R, C), dtype=dtype)
+
+    # image rows: factor f, comp c -> row 2f+c
+    rows_img = (2 * jnp.arange(cfg.OBS, dtype=jnp.int32)[:, None]
+                + jnp.arange(2, dtype=jnp.int32)[None, :])  # (OBS, 2)
+    wJ = lambda Jb: Jb * w_img[:, None, None, None]
+    cols_ri = _knot_cols(s_i, 0)          # (OBS, 4, 3)
+    cols_pi = _knot_cols(s_i, 3 * KW)
+    cols_rj = _knot_cols(s_j, 0)
+    cols_pj = _knot_cols(s_j, 3 * KW)
+    rr = rows_img[:, :, None, None]        # (OBS, 2, 1, 1)
+    for Jb, cols in ((wJ(J_ri), cols_ri), (wJ(J_pi), cols_pi),
+                     (wJ(J_rj), cols_rj), (wJ(J_pj), cols_pj)):
+        J = J.at[rr, cols[:, None, :, :]].add(Jb)
+    J = J.at[rows_img, cfg.col_ld].add(J_ld * w_img[:, None])
+
+    # imu rows
+    base = R_img
+    rows_imu = (base + 6 * jnp.arange(cfg.MIMU, dtype=jnp.int32)[:, None]
+                + jnp.arange(6, dtype=jnp.int32)[None, :])  # (M, 6)
+    wm = m_imu[:, None, None, None]
+    cols_mr = _knot_cols(s_m, 0)
+    cols_mp = _knot_cols(s_m, 3 * KW)
+    rrm = rows_imu[:, :, None, None]
+    J = J.at[rrm, cols_mr[:, None, :, :]].add(J_mr * wm)
+    J = J.at[rrm, cols_mp[:, None, :, :]].add(J_mp * wm)
+    cols_bg = (6 * KW + 3 * imu.bias_idx)[:, None] + jnp.arange(3, dtype=jnp.int32)
+    cols_ba = cols_bg + 3 * NB
+    J = J.at[rows_imu[:, :, None], cols_bg[:, None, :]].add(J_mbg * m_imu[:, None, None])
+    J = J.at[rows_imu[:, :, None], cols_ba[:, None, :]].add(J_mba * m_imu[:, None, None])
+
+    # bias rows: pair b rows -> d r / d bg_b = -si, d bg_{b+1} = +si (block diag)
+    base = R_img + R_imu
+    rows_b = (base + 6 * jnp.arange(NB - 1, dtype=jnp.int32)[:, None]
+              + jnp.arange(6, dtype=jnp.int32)[None, :])  # (NB-1, 6)
+    si = bias.sqrt_info * m_bias[:, None]  # (NB-1, 6)
+    bidx = jnp.arange(NB - 1, dtype=jnp.int32)
+    cols_bg_i = (6 * KW + 3 * bidx)[:, None] + jnp.arange(3, dtype=jnp.int32)
+    cols_ba_i = cols_bg_i + 3 * NB
+    # gyro rows 0..2, accel rows 3..5
+    J = J.at[rows_b[:, :3, None], cols_bg_i[:, None, :] + 0].add(
+        -jnp.eye(3, dtype=dtype)[None] * si[:, :3, None])
+    J = J.at[rows_b[:, :3, None], cols_bg_i[:, None, :] + 3].add(
+        jnp.eye(3, dtype=dtype)[None] * si[:, :3, None])
+    J = J.at[rows_b[:, 3:, None], cols_ba_i[:, None, :] + 0].add(
+        -jnp.eye(3, dtype=dtype)[None] * si[:, 3:, None])
+    J = J.at[rows_b[:, 3:, None], cols_ba_i[:, None, :] + 3].add(
+        jnp.eye(3, dtype=dtype)[None] * si[:, 3:, None])
+
+    # prior rows
+    base = R_img + R_imu + R_bias
+    J = J.at[base : base + C, :].set(prior.J)
+
+    r = jnp.concatenate([r_img, r_imu, r_bias, r_prior])
+    return Linearization(J=J, r=r, J_lm=J_lm, lm_idx=img.lm_idx,
+                         obs_valid=img_active, cost=cost)
+
+
+def total_cost(params: WindowParams, img: ImageFactors, imu: ImuFactors,
+               bias: BiasFactors, prior: PriorFactor, ext, gravity, imu_info,
+               sqrt_info_img, cfg: WindowConfig, opts: SolveOptions):
+    """Residual-only robust cost (for LM step acceptance)."""
+    dtype = params.knots_p.dtype
+    inv_dt = jnp.asarray(1.0 / cfg.dt, dtype=dtype)
+    ld = params.ld
+
+    ui_tot = img.f_i + img.row_i * ld * inv_dt
+    uj_tot = img.f_j + img.row_j * ld * inv_dt
+    shift_i = jnp.floor(ui_tot)
+    shift_j = jnp.floor(uj_tot)
+    s_i = jnp.clip(img.i0_i + shift_i.astype(jnp.int32), 0, cfg.KW - 4)
+    s_j = jnp.clip(img.i0_j + shift_j.astype(jnp.int32), 0, cfg.KW - 4)
+    q4i = spline.gather_local(params.knots_q, s_i)
+    p4i = spline.gather_local(params.knots_p, s_i)
+    q4j = spline.gather_local(params.knots_q, s_j)
+    p4j = spline.gather_local(params.knots_p, s_j)
+    dinv = params.dinv[img.lm_idx]
+    r_img = jax.vmap(
+        lambda a, b, u1, c, d, u2, e, f_, g: F.reproj_residual(
+            a, b, u1, c, d, u2, inv_dt, e, f_, g, ext, sqrt_info_img)
+    )(q4i, p4i, ui_tot - shift_i, q4j, p4j, uj_tot - shift_j, img.pt_i, img.pt_j, dinv)
+    _, cost_img = _cauchy_weight_and_cost(jnp.sum(r_img * r_img, axis=-1), opts.cauchy_c)
+    cost = 0.5 * jnp.sum(cost_img * img.valid.astype(dtype))
+
+    s = jnp.clip(imu.i0, 0, cfg.KW - 4)
+    q4 = spline.gather_local(params.knots_q, s)
+    p4 = spline.gather_local(params.knots_p, s)
+    r_m = jax.vmap(
+        lambda a, b, u, bg, ba, gy, ac: F.imu_residual(
+            a, b, u, inv_dt, bg, ba, gy, ac, gravity, imu_info)
+    )(q4, p4, imu.u, params.bg[imu.bias_idx], params.ba[imu.bias_idx], imu.gyro, imu.accel)
+    cost = cost + 0.5 * jnp.sum((r_m * imu.valid.astype(dtype)[:, None]) ** 2)
+
+    rb = jax.vmap(F.bias_residual)(
+        params.bg[:-1], params.bg[1:], params.ba[:-1], params.ba[1:], bias.sqrt_info
+    )
+    cost = cost + 0.5 * jnp.sum((rb * bias.valid.astype(dtype)[:, None]) ** 2)
+
+    dx = boxminus_full(params, prior.knots_q0, prior.knots_p0, prior.bg0,
+                       prior.ba0, prior.ld0, cfg)
+    r_prior = prior.r0 + prior.J @ dx
+    cost = cost + 0.5 * jnp.sum(r_prior * r_prior)
+    return cost

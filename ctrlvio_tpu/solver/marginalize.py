@@ -1,0 +1,156 @@
+"""Continuous-time marginalization: build the linearized prior.
+
+The headline machinery of the reference (`marginalization_factor.cpp:178-265`
++ drop-set selection in `trajectory_manager.cpp:150-263`), re-cast as
+fixed-shape batched linear algebra:
+
+  1. linearize the marg factor subset (old image factors with their inverse
+     depths, IMU factors before ts[1], the first bias factor, the previous
+     prior) at the current estimate — `assemble.linearize(marg_mode=True)`;
+  2. form the Gauss–Newton system A, b over the *extended* layout
+     [window C-coords ⊕ LM landmark coords] — the MXU matmul replaces the
+     4-pthread partial-Hessian reduction (`ThreadsConstructA`, :141-176);
+  3. Schur-eliminate the dropped set via a masked eigendecomposition
+     pseudo-inverse (eigenvalue truncation ≙ eps, `marginalization_factor.h:129`);
+  4. take the square root of the kept system: J_lin = S^{1/2} V^T,
+     r_lin = S^{-1/2} V^T b (:254-263), stored with the current values as
+     linearization point (box-minus applied at solve time).
+
+The dropped set is expressed as a boolean mask over coordinates — no pointer
+identity, so a subsequent window slide is just a column roll
+(`roll_prior`).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ctrlvio_tpu.ops import so3
+from . import assemble
+from .layout import (BiasFactors, ImageFactors, ImuFactors, PriorFactor,
+                     SolveOptions, WindowConfig, WindowParams)
+
+EIG_EPS = 1e-8  # f32-appropriate truncation (reference uses 1e-30 in f64)
+
+
+def drop_mask(cfg: WindowConfig, drop_knots, drop_bias0: bool) -> jnp.ndarray:
+    """(C+LM,) bool mask of dropped coordinates.
+
+    drop_knots: (KW,) bool — control points leaving the window
+    (ctrl(ts0) <= idx < ctrl(ts1), ≙ `trajectory_manager.cpp:150-155`).
+    All landmark coords are dropped (only marg-flagged landmarks have
+    nonzero rows; empty ones are pseudo-inverse no-ops).
+    """
+    km = jnp.repeat(drop_knots, 3)
+    bias_m = jnp.zeros((3 * cfg.NB,), bool).at[:3].set(drop_bias0)
+    ld_m = jnp.zeros((1,), bool)
+    c_mask = jnp.concatenate([km, km, bias_m, bias_m, ld_m])
+    return jnp.concatenate([c_mask, jnp.ones((cfg.LM,), bool)])
+
+
+def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
+                bias: BiasFactors, old_prior: PriorFactor, drop_knots,
+                ext, gravity, imu_info, sqrt_info_img,
+                cfg: WindowConfig, opts: SolveOptions) -> PriorFactor:
+    """Construct the new prior after a MARGIN_OLD solve."""
+    dtype = params.knots_p.dtype
+    C, LM = cfg.C, cfg.LM
+
+    lin = assemble.linearize(params, img, imu, bias, old_prior, ext, gravity,
+                             imu_info, sqrt_info_img, cfg, opts, marg_mode=True)
+
+    # Gauss-Newton system over [C ⊕ LM]
+    J = lin.J
+    H_cc = J.T @ J
+    g_c = J.T @ lin.r
+    Jl = lin.J_lm
+    h_ll = jnp.zeros((LM,), dtype=dtype).at[lin.lm_idx].add(jnp.sum(Jl * Jl, -1))
+    r_img = lin.r[: 2 * cfg.OBS].reshape(cfg.OBS, 2)
+    g_l = jnp.zeros((LM,), dtype=dtype).at[lin.lm_idx].add(jnp.sum(Jl * r_img, -1))
+    J_rows = J[: 2 * cfg.OBS].reshape(cfg.OBS, 2, C)
+    W = jnp.einsum("oc,ock->ok", Jl, J_rows)
+    H_cl = jnp.zeros((LM, C), dtype=dtype).at[lin.lm_idx].add(W)
+
+    A = jnp.zeros((C + LM, C + LM), dtype=dtype)
+    A = A.at[:C, :C].set(H_cc)
+    A = A.at[:C, C:].set(H_cl.T)
+    A = A.at[C:, :C].set(H_cl)
+    A = A.at[C:, C:].set(jnp.diag(h_ll))
+    b = jnp.concatenate([g_c, g_l])
+
+    d = drop_mask(cfg, drop_knots, True).astype(dtype)
+    k = 1.0 - d
+
+    # pseudo-inverse of the dropped block (masked eigendecomposition)
+    A_dd = A * d[:, None] * d[None, :]
+    A_dd = 0.5 * (A_dd + A_dd.T)
+    S, V = jnp.linalg.eigh(A_dd)
+    S_inv = jnp.where(S > EIG_EPS, 1.0 / jnp.where(S > EIG_EPS, S, 1.0), 0.0)
+    A_dd_inv = (V * S_inv[None, :]) @ V.T
+
+    A_kd = A * k[:, None] * d[None, :]
+    A_sc = A * k[:, None] * k[None, :] - A_kd @ A_dd_inv @ A_kd.T
+    b_sc = b * k - A_kd @ (A_dd_inv @ (b * d))
+
+    # square root of the kept C-block
+    A_sc_cc = 0.5 * (A_sc[:C, :C] + A_sc[:C, :C].T)
+    S2, V2 = jnp.linalg.eigh(A_sc_cc)
+    pos = S2 > EIG_EPS
+    S2_safe = jnp.where(pos, S2, 1.0)
+    sqrt_S = jnp.where(pos, jnp.sqrt(S2_safe), 0.0)
+    inv_sqrt_S = jnp.where(pos, 1.0 / jnp.sqrt(S2_safe), 0.0)
+    J_lin = sqrt_S[:, None] * V2.T
+    r_lin = inv_sqrt_S[:, None] * V2.T @ b_sc[:C]
+    r_lin = r_lin.reshape(-1) if r_lin.ndim > 1 else r_lin
+
+    return PriorFactor(
+        J=J_lin, r0=r_lin,
+        knots_q0=params.knots_q, knots_p0=params.knots_p,
+        bg0=params.bg, ba0=params.ba, ld0=params.ld,
+    )
+
+
+def roll_prior(prior: PriorFactor, knot_shift: int, bias_shift: int,
+               cfg: WindowConfig) -> PriorFactor:
+    """Shift the prior's columns/linearization point when the window slides.
+
+    After MARGIN_OLD the window's first knot advances by `knot_shift` and
+    keyframe biases shift down one slot; the prior's fixed-layout columns
+    roll accordingly (the reference instead re-maps parameter-block
+    pointers via addr_shift, `marginalization_factor.cpp:267-290`).
+    Host-side numpy (runs once per frame on small arrays).
+    """
+    KW, NB, C = cfg.KW, cfg.NB, cfg.C
+    J = np.asarray(prior.J).copy()
+    s3 = 3 * knot_shift
+
+    def roll_block(Jb, start, size, shift):
+        blk = Jb[:, start : start + size]
+        out = np.zeros_like(blk)
+        if shift < size:
+            out[:, : size - shift] = blk[:, shift:]
+        Jb[:, start : start + size] = out
+
+    if knot_shift > 0:
+        roll_block(J, 0, 3 * KW, s3)             # so3 knots
+        roll_block(J, 3 * KW, 3 * KW, s3)        # pos knots
+    if bias_shift > 0:
+        roll_block(J, 6 * KW, 3 * NB, 3 * bias_shift)       # bg
+        roll_block(J, 6 * KW + 3 * NB, 3 * NB, 3 * bias_shift)  # ba
+
+    def roll_rows(a, shift, fill):
+        a = np.asarray(a).copy()
+        if shift > 0:
+            a[:-shift] = a[shift:]
+            a[-shift:] = fill
+        return a
+
+    kq0 = roll_rows(prior.knots_q0, knot_shift, np.array([1.0, 0, 0, 0]))
+    kp0 = roll_rows(prior.knots_p0, knot_shift, 0.0)
+    bg0 = roll_rows(prior.bg0, bias_shift, 0.0)
+    ba0 = roll_rows(prior.ba0, bias_shift, 0.0)
+
+    return PriorFactor(J=jnp.asarray(J), r0=prior.r0, knots_q0=jnp.asarray(kq0),
+                       knots_p0=jnp.asarray(kp0), bg0=jnp.asarray(bg0),
+                       ba0=jnp.asarray(ba0), ld0=prior.ld0)
