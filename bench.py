@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end synthetic rolling-shutter VIO replay.
+
+Prints ONE JSON line:
+  {"metric": "frames_per_sec_per_chip", "value": N, "unit": "fps",
+   "vs_baseline": N/10.0}
+
+Baseline: the reference (single-thread CPU Ceres, `trajectory_estimator.cpp
+:379-383`) processes keyframes at the 10 Hz camera rate, i.e. ~realtime.
+vs_baseline is therefore the realtime multiple; the north-star target is
+>= 3 (BASELINE.md).
+
+Accuracy gates (ATE, line-delay convergence) are checked and reported on
+stderr; the bench aborts with nonzero exit if accuracy is off, so the fps
+number can't silently come from a diverged run.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=["tpu", "cpu-smoke"], default="tpu")
+    ap.add_argument("--duration", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=3)
+    args = ap.parse_args()
+
+    if args.preset == "cpu-smoke":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        duration = args.duration or 6.0
+        dtype = np.float64
+    else:
+        import jax
+
+        duration = args.duration or 20.0
+        dtype = np.float32
+
+    import jax.numpy as jnp
+
+    from ctrlvio_tpu.estimator.initializer import bootstrap_from_sim
+    from ctrlvio_tpu.estimator.odometry import CtrlVIO, VIOConfig
+    from ctrlvio_tpu.ops import so3
+    from ctrlvio_tpu.sim import synthetic
+    from ctrlvio_tpu.solver.layout import WindowConfig
+    from ctrlvio_tpu.utils.ate import ate_rmse
+
+    print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
+          file=sys.stderr)
+
+    sim = synthetic.generate(synthetic.SimConfig(
+        duration=duration, n_landmarks=300, seed=args.seed))
+    cfg = VIOConfig(
+        window_config=WindowConfig(KW=48, NB=11, LM=256, OBS=1536, MIMU=512),
+        fix_ld=False, ld_init=0.0, dtype=dtype)
+    q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
+    vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))
+
+    init = bootstrap_from_sim(sim)
+    for k in range(len(sim.imu_t_ns)):
+        vio.process_imu(sim.imu_t_ns[k], sim.gyro[k], sim.accel[k])
+    vio.set_initial_state(init.t_ns, init.q, init.p, init.bg, init.ba,
+                          init.gravity, v0=init.v)
+
+    est, gt = [], []
+    frame_times = []
+    warmup_frames = 14  # init window + first solves (jit compile)
+    for i, fr in enumerate(sim.frames):
+        t0 = time.perf_counter()
+        out = vio.process_frame(fr.t_ns, fr.ids, fr.pts, fr.rows)
+        dt_frame = time.perf_counter() - t0
+        if out is not None:
+            q, p = out
+            est.append(p)
+            _, p_gt = sim.pose_at(fr.t_ns * 1e-9)
+            gt.append(p_gt)
+        if i >= warmup_frames:
+            frame_times.append(dt_frame)
+
+    est, gt = np.asarray(est), np.asarray(gt)
+    # skip the online-calibration transient; standard 4-DoF-aligned ATE
+    err = ate_rmse(est[10:], gt[10:], align="yaw")
+    ld_err = abs(vio.traj.line_delay - sim.cfg.line_delay)
+    print(f"[bench] frames={len(est)} ATE={err * 100:.2f} cm "
+          f"ld={vio.traj.line_delay * 1e6:.2f} us (true {sim.cfg.line_delay * 1e6:.2f}, "
+          f"err {ld_err * 1e6:.2f} us)", file=sys.stderr)
+
+    ate_gate = 0.10 if args.preset == "tpu" else 0.06
+    if err > ate_gate or ld_err > 5e-6:
+        print(f"[bench] FAIL accuracy gates (ATE<{ate_gate}m, ld_err<5us)",
+              file=sys.stderr)
+        sys.exit(1)
+
+    per_frame = float(np.median(frame_times))
+    fps = 1.0 / per_frame
+    print(f"[bench] median frame time {per_frame * 1e3:.1f} ms "
+          f"({fps:.1f} fps, keyframe rate 10 Hz)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 10.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""System initialization: gravity-aligned initial state.
+
+- `StaticInitializer` ≙ IMUInitializer::StaticInitialIMUState
+  (`/root/reference/src/inertial/inertial_initializer.cpp:93-163`):
+  a 1-second stationary IMU window yields the gravity direction (-> initial
+  roll/pitch, yaw zeroed), gyro bias, and accel bias.
+- `bootstrap_from_sim`: test/bench bootstrap from simulation ground truth
+  (stands in for the VINS-Mono visual-inertial SfM bootstrap C19, which is a
+  separate milestone — see PARITY.md).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ctrlvio_tpu.ops import so3
+import jax.numpy as jnp
+
+S_TO_NS = 1_000_000_000
+
+
+@dataclass
+class InitialState:
+    t_ns: int
+    q: np.ndarray          # (4,) IMU-to-world, gravity-aligned, yaw-zeroed
+    p: np.ndarray
+    bg: np.ndarray
+    ba: np.ndarray
+    gravity: np.ndarray    # (3,) world gravity (0, 0, +g)
+    v: np.ndarray = None   # (3,) initial velocity (zero for static init)
+
+    def __post_init__(self):
+        if self.v is None:
+            self.v = np.zeros(3)
+
+
+def dead_reckon_poses(t_out_ns, imu_t_ns, gyro, accel, state: InitialState):
+    """Midpoint IMU integration (≙ the dead-reckoning in
+    `visual_odometry.cpp:137-172` / IntegrationBase) producing poses at
+    requested times. Times are relative to state.t_ns=origin 0.
+
+    Returns (q (T,4), p (T,3)). Used to initialize the first window's knots
+    (far better conditioned than the reference's flat init + LM)."""
+    from ctrlvio_tpu.utils.hostmath import on_cpu
+
+    with on_cpu():
+        return _dead_reckon_impl(t_out_ns, imu_t_ns, gyro, accel, state)
+
+
+def _dead_reckon_impl(t_out_ns, imu_t_ns, gyro, accel, state):
+    import jax
+
+    q = jnp.asarray(state.q)
+    p = np.asarray(state.p, dtype=np.float64).copy()
+    v = np.asarray(state.v, dtype=np.float64).copy()
+    g = state.gravity
+    bg, ba = state.bg, state.ba
+
+    t_out = np.asarray(t_out_ns, dtype=np.int64)
+    out_q = np.zeros((len(t_out), 4))
+    out_p = np.zeros((len(t_out), 3))
+    oi = 0
+
+    # negative times: constant-velocity backward extrapolation from the
+    # initial state (needed because knot P_0 carries the pose at -dt)
+    neg = t_out < 0
+    if np.any(neg):
+        w0 = (gyro[0] - bg) if len(gyro) else np.zeros(3)
+        for k in np.nonzero(neg)[0]:
+            dt_back = t_out[k] * 1e-9
+            out_p[k] = p + v * dt_back
+            out_q[k] = np.asarray(so3.boxplus(q, jnp.asarray(w0 * dt_back)))
+        oi = int(np.sum(neg))
+
+    def emit_until(t_ns, q, p):
+        nonlocal oi
+        while oi < len(t_out) and t_out[oi] <= t_ns:
+            out_q[oi] = np.asarray(q)
+            out_p[oi] = p
+            oi += 1
+
+    sel = imu_t_ns >= 0
+    ts = imu_t_ns[sel]
+    gy = gyro[sel]
+    ac = accel[sel]
+    emit_until(ts[0] if len(ts) else 0, q, p)
+    for k in range(1, len(ts)):
+        dt = (ts[k] - ts[k - 1]) * 1e-9
+        w_mid = 0.5 * (gy[k - 1] + gy[k]) - bg
+        a0 = np.asarray(so3.quat_rotate(q, jnp.asarray(ac[k - 1] - ba))) - g
+        q_new = so3.boxplus(q, jnp.asarray(w_mid * dt))
+        a1 = np.asarray(so3.quat_rotate(q_new, jnp.asarray(ac[k] - ba))) - g
+        a_mid = 0.5 * (a0 + a1)
+        p = p + v * dt + 0.5 * a_mid * dt * dt
+        v = v + a_mid * dt
+        q = q_new
+        emit_until(ts[k], q, p)
+    # fill any remaining (beyond IMU) with the last state
+    while oi < len(t_out):
+        out_q[oi] = np.asarray(q)
+        out_p[oi] = p
+        oi += 1
+    return out_q, out_p
+
+
+class StaticInitializer:
+    """Accumulates IMU; succeeds once a stationary window is seen."""
+
+    def __init__(self, window_length: float = 0.75,
+                 excite_threshold: float = 0.5, gravity_mag: float = 9.80766):
+        self.window_ns = int(window_length * S_TO_NS)
+        self.thresh = excite_threshold
+        self.g = np.array([0.0, 0.0, gravity_mag])
+        self.t = []
+        self.gyro = []
+        self.accel = []
+
+    def feed(self, t_ns: int, gyro, accel) -> Optional[InitialState]:
+        self.t.append(int(t_ns))
+        self.gyro.append(np.asarray(gyro, dtype=np.float64))
+        self.accel.append(np.asarray(accel, dtype=np.float64))
+        if self.t[-1] - self.t[0] < self.window_ns:
+            return None
+
+        t = np.asarray(self.t)
+        sel = t >= t[-1] - self.window_ns
+        acc = np.stack(self.accel)[sel]
+        gyr = np.stack(self.gyro)[sel]
+        acc_avg = acc.mean(0)
+        gyr_avg = gyr.mean(0)
+        acc_var = np.sqrt(((acc - acc_avg) ** 2).sum(-1).sum() / (len(acc) - 1))
+        if acc_var >= self.thresh:
+            return None  # moving; keep waiting (≙ "Dont Move!" warning)
+
+        # world z from measured gravity; x via Gram-Schmidt on e1; yaw zeroed
+        z_axis = acc_avg / np.linalg.norm(acc_avg)
+        e1 = np.array([1.0, 0.0, 0.0])
+        x_axis = e1 - z_axis * (z_axis @ e1)
+        x_axis /= np.linalg.norm(x_axis)
+        y_axis = np.cross(z_axis, x_axis)
+        Rot = np.stack([x_axis, y_axis, z_axis], axis=1)  # I0 -> "gravity frame"
+        g_inI0 = Rot @ self.g
+        R_I0toG = Rot.T
+        # zero the yaw
+        yaw = np.arctan2(R_I0toG[1, 0], R_I0toG[0, 0])
+        cy, sy = np.cos(-yaw), np.sin(-yaw)
+        Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+        R_I0toG = Rz @ R_I0toG
+
+        q = np.asarray(so3.matrix_to_quat(jnp.asarray(R_I0toG)))
+        return InitialState(
+            t_ns=int(t[-1]), q=q, p=np.zeros(3),
+            bg=gyr_avg, ba=acc_avg - g_inI0, gravity=self.g.copy(),
+        )
+
+
+def bootstrap_from_sim(sim, t0_ns: Optional[int] = None) -> InitialState:
+    """Ground-truth bootstrap for synthetic sequences (replaces the visual
+    SfM init during bench/tests)."""
+    if t0_ns is None:
+        t0_ns = sim.frames[0].t_ns
+    q, p = sim.pose_at(t0_ns * 1e-9)
+    # ground-truth velocity at t0 from the spline derivative
+    from ctrlvio_tpu.sim.synthetic import grid_coords
+    from ctrlvio_tpu.ops import spline as spl
+    from ctrlvio_tpu.utils.hostmath import on_cpu
+
+    i0, u = grid_coords(t0_ns * 1e-9, sim.cfg.knot_dt)
+    with on_cpu():
+        v = np.asarray(spl.rd_eval(jnp.asarray(sim.knots_p[i0 : i0 + 4]),
+                                   jnp.asarray(u), 1.0 / sim.cfg.knot_dt, 1))
+    return InitialState(
+        t_ns=int(t0_ns), q=np.asarray(q), p=np.asarray(p),
+        bg=sim.bg.copy(), ba=sim.ba.copy(), gravity=sim.gravity_vec.copy(),
+        v=v,
+    )

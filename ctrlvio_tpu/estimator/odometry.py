@@ -1,0 +1,398 @@
+"""CtrlVIO: the per-frame estimation pipeline (sliding window + spline solve).
+
+≙ OdometryManager + TrajectoryManager + VisualOdometry orchestration
+(`/root/reference/src/estimator/odometry_manager.cpp:128-299`,
+`trajectory_manager.cpp:288-483`, `visual_odometry.cpp:137-308`):
+
+per frame (after initialization):
+  1. buffer IMU, pair with the frame             (GetMsgsForProcessing)
+  2. feature table update -> keyframe decision   (addFeatureCheckParallax)
+  3. extend spline knots to t_frame + 40 ms      (ExtendTrajectory; padding
+     > ld_upper * image rows, ≙ comment :247)
+  4. IMU-only predict solve on the new knots     (InitTrajectory, <=8 iters)
+  5. triangulate new landmarks                   (FeatureManager::triangulate)
+  6. full sliding-window BA                      (UpdateTrajectory, <=15 iters)
+  7. 4-DoF gauge restore                         (double2vector)
+  8. marginalization prior update                (UpdateVIOPrior)
+  9. slide window                                (SlideWindow{Old,New})
+
+Host does bookkeeping in numpy; the three device calls (predict solve, BA,
+prior build) are jitted with static shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctrlvio_tpu.models.trajectory import Trajectory
+from ctrlvio_tpu.ops import factors as F
+from ctrlvio_tpu.ops import so3
+from ctrlvio_tpu.solver import gauge, lm, marginalize
+from ctrlvio_tpu.solver.layout import (BiasFactors, ImageFactors, ImuFactors,
+                                       PriorFactor, SolveOptions, WindowConfig,
+                                       WindowParams, empty_prior)
+from . import packing
+from .features import FeatureTable
+
+S_TO_NS = 1_000_000_000
+MARGIN_OLD = 0
+MARGIN_SECOND_NEW = 1
+
+
+@dataclass
+class VIOConfig:
+    window_config: WindowConfig = WindowConfig(KW=48, NB=11, LM=256, OBS=2048, MIMU=512)
+    knot_dt: float = 0.05
+    # IMU noise -> information (≙ OptWeight, `opt_weight.h:115-140`)
+    sigma_gyro: float = 4e-3
+    sigma_accel: float = 8e-2
+    sigma_bg: float = 2e-5
+    sigma_ba: float = 4e-4
+    image_weight: float = 800.0
+    min_parallax: float = 10.0 / 460.0
+    gravity_mag: float = 9.80766
+    # line delay (≙ config ld block `ct_odometry_tumrs.yaml:30-34`)
+    ld_init: float = 0.0
+    fix_ld: bool = False
+    ld_lower: float = 0.0
+    ld_upper: float = 3.5e-5
+    ba_iters: int = 15
+    predict_iters: int = 8
+    init_ba_iters: int = 30
+    dtype: type = np.float32
+
+
+@dataclass
+class KeyframePose:
+    """Final estimate of a keyframe as it leaves the window."""
+
+    t_ns: int
+    q: np.ndarray
+    p: np.ndarray
+
+
+class CtrlVIO:
+    def __init__(self, cfg: VIOConfig, q_CtoI: np.ndarray, p_CinI: np.ndarray):
+        self.cfg = cfg
+        wc = cfg.window_config
+        self.wc = wc
+        self.traj = Trajectory(cfg.knot_dt, cfg.ld_init, cfg.fix_ld,
+                               cfg.ld_lower, cfg.ld_upper)
+        self.features = FeatureTable(wc.NB - 1, cfg.min_parallax)
+        self.q_CtoI = np.asarray(q_CtoI, dtype=np.float64)
+        self.p_CinI = np.asarray(p_CinI, dtype=np.float64)
+
+        self.imu_t_ns = np.zeros(0, np.int64)
+        self.imu_gyro = np.zeros((0, 3))
+        self.imu_accel = np.zeros((0, 3))
+
+        self.kf_t_ns = np.zeros(wc.NB, np.int64)
+        self.bg = np.zeros((wc.NB, 3))
+        self.ba = np.zeros((wc.NB, 3))
+        self.gravity = np.array([0.0, 0.0, cfg.gravity_mag])
+
+        self.initialized = False
+        self.frame_count = 0          # frames accumulated before init
+        self.data_start_ns: Optional[int] = None
+        self.prior: Optional[PriorFactor] = None
+        self.win_knot0 = 0
+        self.marg_flag = MARGIN_OLD
+        self.keyframes: List[KeyframePose] = []
+        self.last_solve_stats = None
+
+        jdt = jnp.float64 if cfg.dtype == np.float64 else jnp.float32
+        self.jdt = jdt
+        self._ext = F.CamExtrinsics(
+            q_CtoI=jnp.asarray(self.q_CtoI, dtype=jdt),
+            p_CinI=jnp.asarray(self.p_CinI, dtype=jdt),
+        )
+        self._gravity_j = jnp.asarray(self.gravity, dtype=jdt)
+        self._imu_info = jnp.asarray(
+            [1.0 / cfg.sigma_gyro] * 3 + [1.0 / cfg.sigma_accel] * 3, dtype=jdt)
+        self._sqrt_info_img = jnp.asarray(cfg.image_weight, dtype=jdt)
+
+        self._ba_opts = SolveOptions(
+            max_iters=cfg.ba_iters, fix_ld=cfg.fix_ld, ld_lower=cfg.ld_lower,
+            ld_upper=cfg.ld_upper)
+        self._init_opts = self._ba_opts._replace(max_iters=cfg.init_ba_iters)
+        self._predict_opts = SolveOptions(
+            max_iters=cfg.predict_iters, lock_bias=True, fix_ld=True)
+
+        self._solve = jax.jit(
+            partial(lm.solve_window, cfg=wc), static_argnames=("opts",))
+        self._build_prior = jax.jit(
+            partial(marginalize.build_prior, cfg=wc), static_argnames=("opts",))
+        self._restore = jax.jit(gauge.restore_gauge)
+
+    # ------------------------------------------------------------------
+    # ingest
+    # ------------------------------------------------------------------
+    def process_imu(self, t_ns: int, gyro, accel):
+        if self.data_start_ns is not None:
+            t_ns = int(t_ns) - self.data_start_ns
+        self.imu_t_ns = np.append(self.imu_t_ns, np.int64(t_ns))
+        self.imu_gyro = np.vstack([self.imu_gyro, np.asarray(gyro)[None]])
+        self.imu_accel = np.vstack([self.imu_accel, np.asarray(accel)[None]])
+
+    def set_initial_state(self, t0_ns: int, q0, p0, bg, ba, gravity, v0=None):
+        """Bootstrap state (≙ SetInitialState, `odometry_manager.cpp:416-448`):
+        gravity-aligned initial pose at the first frame time, biases, gravity,
+        optional initial velocity. Shifts the time origin to t0."""
+        from .initializer import InitialState
+
+        self.data_start_ns = int(t0_ns)
+        self.imu_t_ns = self.imu_t_ns - self.data_start_ns
+        keep = self.imu_t_ns >= 0
+        self.imu_t_ns = self.imu_t_ns[keep]
+        self.imu_gyro = self.imu_gyro[keep]
+        self.imu_accel = self.imu_accel[keep]
+        self.gravity = np.asarray(gravity, dtype=np.float64)
+        self._gravity_j = jnp.asarray(self.gravity, dtype=self.jdt)
+        self.bg[:] = np.asarray(bg)
+        self.ba[:] = np.asarray(ba)
+        self._init_state = InitialState(
+            t_ns=0, q=np.asarray(q0), p=np.asarray(p0), bg=np.asarray(bg),
+            ba=np.asarray(ba), gravity=self.gravity,
+            v=None if v0 is None else np.asarray(v0))
+        self.traj.set_flat(q0, p0, self.traj.dt_ns)
+
+    # ------------------------------------------------------------------
+    # per-frame pipeline
+    # ------------------------------------------------------------------
+    def process_frame(self, t_ns: int, ids, pts, rows):
+        """Feed one feature frame. Returns the current IMU pose estimate
+        (q, p) at the frame time, or None before initialization."""
+        assert self.data_start_ns is not None, "call set_initial_state first"
+        t_ns = int(t_ns) - self.data_start_ns
+        wc = self.wc
+
+        if not self.initialized:
+            return self._accumulate_init_frame(t_ns, ids, pts, rows)
+
+        # [2] feature update + keyframe decision (new frame -> slot NB-1)
+        is_kf = self.features.add_frame(wc.NB - 1, ids, pts, rows)
+        self.marg_flag = MARGIN_OLD if is_kf else MARGIN_SECOND_NEW
+        self.kf_t_ns[wc.NB - 1] = t_ns
+        self.bg[wc.NB - 1] = self.bg[wc.NB - 2]
+        self.ba[wc.NB - 1] = self.ba[wc.NB - 2]
+
+        # [3] extend trajectory + [4] IMU-only predict
+        self._extend_and_predict(t_ns)
+
+        # [5] triangulate new landmarks at current spline estimate
+        self._triangulate()
+
+        # [6-8] full BA + gauge + marginalization
+        self._solve_window_ba()
+
+        # [9] slide
+        self._slide_window()
+
+        q, p = self.traj.pose(t_ns)
+        return q[0], p[0]
+
+    # ------------------------------------------------------------------
+    def _accumulate_init_frame(self, t_ns, ids, pts, rows):
+        wc = self.wc
+        self.features.add_frame(self.frame_count, ids, pts, rows)
+        self.kf_t_ns[self.frame_count] = t_ns
+        self.frame_count += 1
+        if self.frame_count < wc.NB:
+            return None
+
+        # window full: bootstrap the whole first window.
+        # Knots start from IMU dead-reckoning (an improvement over the
+        # reference's flat init — better conditioned first BA), then an
+        # IMU-only LM refines the spline fit, then the long BA.
+        from .initializer import dead_reckon_poses
+
+        self.win_knot0 = 0
+        self.marg_flag = MARGIN_OLD
+        self.traj.extend_to(t_ns + int(0.04 * S_TO_NS))
+        # cubic B-spline: curve(i*dt) ~ (P_i + 4 P_{i+1} + P_{i+2})/6, so knot
+        # P_i should carry the pose at (i-1)*dt for the curve to match the
+        # dead-reckoned trajectory
+        knot_ts = (np.arange(self.traj.n, dtype=np.int64) - 1) \
+            * int(self.traj.dt_ns)
+        kq, kp = dead_reckon_poses(knot_ts, self.imu_t_ns, self.imu_gyro,
+                                   self.imu_accel, self._init_state)
+        self.traj.knots_q[: self.traj.n] = kq
+        self.traj.knots_p[: self.traj.n] = kp
+        self._extend_and_predict(t_ns, from_start=True)
+        self._triangulate()
+        self._solve_window_ba(init=True)
+        self._slide_window()
+        self.initialized = True
+        q, p = self.traj.pose(t_ns)
+        return q[0], p[0]
+
+    # ------------------------------------------------------------------
+    def _extend_and_predict(self, t_ns: int, from_start: bool = False):
+        """≙ ExtendTrajectory + InitTrajectory (IMU-only predict of new knots)."""
+        wc = self.wc
+        max_bef_ns = self.traj.max_time_ns
+        max_bef_idx = self.traj.n - 1
+        self.traj.extend_to(t_ns + int(0.04 * S_TO_NS))
+        max_aft_ns = self.traj.max_time_ns
+        if max_aft_ns <= max_bef_ns and not from_start:
+            return
+
+        t_lo = 0 if from_start else max_bef_ns
+        kq, kp, n_active = self.traj.window(self.win_knot0, wc.KW, np.float64)
+        params = WindowParams(
+            knots_q=jnp.asarray(kq, self.jdt), knots_p=jnp.asarray(kp, self.jdt),
+            bg=jnp.asarray(self.bg, self.jdt), ba=jnp.asarray(self.ba, self.jdt),
+            dinv=jnp.full((wc.LM,), 0.2, self.jdt),
+            ld=jnp.asarray(self.traj.line_delay, self.jdt),
+        )
+        imu = packing.pack_imu_factors(
+            self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
+            t_lo, max_aft_ns, self.traj.dt, self.win_knot0, wc, self.cfg.dtype)
+        img = _empty_image_factors(wc, self.cfg.dtype)
+        bias = BiasFactors(sqrt_info=np.zeros((wc.NB - 1, 6), self.cfg.dtype),
+                           valid=np.zeros(wc.NB - 1, bool))
+
+        fixed = np.ones(wc.KW, bool)
+        lo = 0 if from_start else (max_bef_idx - self.win_knot0 + 1)
+        lo = max(lo, 4 if from_start else 0)
+        fixed[lo:n_active] = False
+        if from_start:
+            fixed[:4] = True
+
+        p_out, stats = self._solve(
+            params, _to_j(img), _to_j(imu), _to_j(bias),
+            empty_prior(wc, self.jdt), jnp.asarray(fixed), self._ext,
+            self._gravity_j, self._imu_info, self._sqrt_info_img,
+            opts=self._predict_opts)
+        self.traj.write_back(self.win_knot0, np.asarray(p_out.knots_q),
+                             np.asarray(p_out.knots_p), n_active)
+
+    # ------------------------------------------------------------------
+    def _triangulate(self):
+        nb = self.wc.NB
+        cam_q, cam_p = self.traj.camera_pose(self.kf_t_ns[:nb], self.q_CtoI, self.p_CinI)
+        self.features.triangulate(cam_q, cam_p)
+
+    # ------------------------------------------------------------------
+    def _solve_window_ba(self, init: bool = False):
+        wc = self.wc
+        cfg = self.cfg
+        self.win_knot0 = self.traj.ctrl_idx(self.kf_t_ns[0])
+        kq, kp, n_active = self.traj.window(self.win_knot0, wc.KW, np.float64)
+
+        img, dinv0, cands = packing.pack_image_factors(
+            list(self.features.tracks.values()), self.kf_t_ns, self.traj.dt,
+            self.win_knot0, wc, cfg.dtype)
+        t_lo = self.win_knot0 * int(self.traj.dt_ns)
+        imu = packing.pack_imu_factors(
+            self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
+            t_lo, self.traj.max_time_ns, self.traj.dt, self.win_knot0, wc,
+            cfg.dtype)
+        bias = packing.bias_sqrt_info(self.imu_t_ns, self.kf_t_ns, cfg.sigma_bg,
+                                      cfg.sigma_ba, wc, cfg.dtype)
+        prior = self.prior if self.prior is not None else empty_prior(wc, self.jdt)
+
+        params = WindowParams(
+            knots_q=jnp.asarray(kq, self.jdt), knots_p=jnp.asarray(kp, self.jdt),
+            bg=jnp.asarray(self.bg, self.jdt), ba=jnp.asarray(self.ba, self.jdt),
+            dinv=jnp.asarray(dinv0, self.jdt),
+            ld=jnp.asarray(self.traj.line_delay, self.jdt),
+        )
+        fixed = np.ones(wc.KW, bool)
+        fixed[:n_active] = False
+        if self.prior is None:
+            fixed[:4] = True  # no prior yet: anchor the gauge explicitly
+
+        opts = self._init_opts if init else self._ba_opts
+        p_out, stats = self._solve(
+            params, _to_j(img), _to_j(imu), _to_j(bias), prior,
+            jnp.asarray(fixed), self._ext, self._gravity_j, self._imu_info,
+            self._sqrt_info_img, opts=opts)
+        self.last_solve_stats = stats
+
+        # [7] 4-DoF gauge restore about the window's first control point
+        q_new, p_new = self._restore(
+            p_out.knots_q, p_out.knots_p,
+            jnp.asarray(kq[0], self.jdt), jnp.asarray(kp[0], self.jdt),
+            0, 0)
+        p_out = p_out._replace(knots_q=q_new, knots_p=p_new)
+
+        # write back state
+        self.traj.write_back(self.win_knot0, np.asarray(p_out.knots_q),
+                             np.asarray(p_out.knots_p), n_active)
+        self.traj.line_delay = float(p_out.ld)
+        self.bg = np.array(p_out.bg, dtype=np.float64)  # writable copies
+        self.ba = np.array(p_out.ba, dtype=np.float64)
+        self.features.set_depths(np.asarray(p_out.dinv, np.float64), cands)
+
+        # [8] marginalization prior (at the gauge-restored state)
+        if self.marg_flag == MARGIN_OLD or init:
+            k0 = 0  # ctrl(ts0) window-relative
+            k1 = self.traj.ctrl_idx(self.kf_t_ns[1]) - self.win_knot0
+            drop = np.zeros(wc.KW, bool)
+            drop[k0:k1] = True
+            self.prior = self._build_prior(
+                p_out, _to_j(img), _to_j(imu), _to_j(bias), prior,
+                jnp.asarray(drop), self._ext, self._gravity_j, self._imu_info,
+                self._sqrt_info_img, opts=opts._replace(cauchy_c=1.0))
+
+    # ------------------------------------------------------------------
+    def _slide_window(self):
+        wc = self.wc
+        nb = wc.NB
+        if self.marg_flag == MARGIN_OLD:
+            # record the keyframe leaving the window
+            q, p = self.traj.pose(self.kf_t_ns[0])
+            self.keyframes.append(KeyframePose(int(self.kf_t_ns[0]), q[0], p[0]))
+
+            from ctrlvio_tpu.utils.hostmath import on_cpu
+
+            cam_q, cam_p = self.traj.camera_pose(
+                self.kf_t_ns[:2], self.q_CtoI, self.p_CinI)
+            with on_cpu():
+                R = np.asarray(so3.quat_to_matrix(jnp.asarray(cam_q)))
+            self.features.slide_old(R[0], cam_p[0], R[1], cam_p[1])
+
+            old_k0 = self.traj.ctrl_idx(self.kf_t_ns[0])
+            self.kf_t_ns[:-1] = self.kf_t_ns[1:]
+            self.bg[:-1] = self.bg[1:]
+            self.ba[:-1] = self.ba[1:]
+            new_k0 = self.traj.ctrl_idx(self.kf_t_ns[0])
+            if self.prior is not None:
+                self.prior = marginalize.roll_prior(
+                    self.prior, new_k0 - old_k0, 1, wc)
+            self.win_knot0 = new_k0
+
+            # drop stale IMU (≙ RemoveIMUData ts[0]-5s)
+            keep = self.imu_t_ns >= self.kf_t_ns[0] - 5 * S_TO_NS
+            self.imu_t_ns = self.imu_t_ns[keep]
+            self.imu_gyro = self.imu_gyro[keep]
+            self.imu_accel = self.imu_accel[keep]
+        else:
+            self.features.remove_failures()
+            self.features.slide_second_new(nb - 1)
+            self.kf_t_ns[nb - 2] = self.kf_t_ns[nb - 1]
+            self.bg[nb - 2] = self.bg[nb - 1]
+            self.ba[nb - 2] = self.ba[nb - 1]
+
+
+def _empty_image_factors(wc: WindowConfig, dtype) -> ImageFactors:
+    OBS = wc.OBS
+    z = np.zeros(OBS, dtype)
+    return ImageFactors(
+        i0_i=np.zeros(OBS, np.int32), f_i=z, row_i=z,
+        pt_i=np.zeros((OBS, 3), dtype), i0_j=np.zeros(OBS, np.int32), f_j=z,
+        row_j=z, pt_j=np.zeros((OBS, 3), dtype),
+        lm_idx=np.zeros(OBS, np.int32), valid=np.zeros(OBS, bool),
+        marg_drop=np.zeros(OBS, bool),
+    )
+
+
+def _to_j(x):
+    return jax.tree_util.tree_map(jnp.asarray, x)

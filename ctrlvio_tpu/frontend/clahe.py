@@ -1,0 +1,59 @@
+"""CLAHE (contrast-limited adaptive histogram equalization).
+
+≙ `cv::createCLAHE(3.0, cv::Size(8, 8))` used before tracking
+(`/root/reference/src/visual_odometry/visual_feature/feature_tracker.cpp:47-53`).
+Pure-JAX: per-tile histograms by scatter-add, clip + uniform redistribution,
+CDF lookup tables, bilinear interpolation between the four neighboring tile
+LUTs per pixel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def clahe(img, tiles: int = 8, clip_limit: float = 3.0, nbins: int = 256):
+    """img: (H, W) in [0, 255] (any float/int dtype). Returns float in
+    [0, 255]. H, W should be divisible by `tiles` (true for 1280x1024/8)."""
+    H, W = img.shape
+    th, tw = H // tiles, W // tiles
+    x = jnp.clip(img, 0, 255).astype(jnp.float32)
+    b = jnp.clip(x.astype(jnp.int32), 0, nbins - 1)
+
+    # per-tile histograms
+    tiles_img = b.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3).reshape(
+        tiles * tiles, th * tw)
+    hist = jax.vmap(
+        lambda t: jnp.zeros((nbins,), jnp.float32).at[t].add(1.0))(tiles_img)
+
+    # clip + redistribute (OpenCV semantics: clipLimit scaled by tile size)
+    limit = jnp.maximum(clip_limit * th * tw / nbins, 1.0)
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / nbins
+
+    # CDF -> LUT
+    cdf = jnp.cumsum(hist, axis=1)
+    lut = (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1.0) * 255.0
+    lut = lut.reshape(tiles, tiles, nbins)
+
+    # bilinear interpolation between tile centers
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+    ty = (yy - th / 2.0) / th
+    tx = (xx - tw / 2.0) / tw
+    y0 = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, tiles - 1)
+    x0 = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, tiles - 1)
+    y1 = jnp.clip(y0 + 1, 0, tiles - 1)
+    x1 = jnp.clip(x0 + 1, 0, tiles - 1)
+    wy = jnp.clip(ty - y0, 0.0, 1.0)
+    wx = jnp.clip(tx - x0, 0.0, 1.0)
+
+    v00 = lut[y0, x0, b]
+    v01 = lut[y0, x1, b]
+    v10 = lut[y1, x0, b]
+    v11 = lut[y1, x1, b]
+    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+           + v10 * wy * (1 - wx) + v11 * wy * wx)
+    return out.astype(img.dtype if jnp.issubdtype(img.dtype, jnp.floating)
+                      else jnp.float32)

@@ -91,6 +91,12 @@ class Trajectory:
     # -- pose queries (host, f64) ----------------------------------------
     def pose(self, t_ns):
         """IMU pose at int64-ns times (scalar or array). Returns (q, p)."""
+        from ctrlvio_tpu.utils.hostmath import on_cpu
+
+        with on_cpu():
+            return self._pose_impl(t_ns)
+
+    def _pose_impl(self, t_ns):
         t_ns = np.atleast_1d(np.asarray(t_ns, dtype=np.int64))
         i0 = (t_ns // self.dt_ns).astype(np.int32)
         u = (t_ns % self.dt_ns).astype(np.float64) / float(self.dt_ns)

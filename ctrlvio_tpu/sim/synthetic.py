@@ -90,6 +90,12 @@ class SimData:
 
     def pose_at(self, t_sec):
         """GT IMU pose at time t (seconds). Returns (quat, pos)."""
+        from ctrlvio_tpu.utils.hostmath import on_cpu
+
+        with on_cpu():
+            return self._pose_at_impl(t_sec)
+
+    def _pose_at_impl(self, t_sec):
         i0, u = grid_coords(np.asarray(t_sec), self.cfg.knot_dt)
         q4 = self.knots_q[i0 : i0 + 4]
         p4 = self.knots_p[i0 : i0 + 4]
@@ -132,6 +138,13 @@ def _smooth_knots(cfg: SimConfig, rng):
 
 def _batched_pose(knots_q, knots_p, ts, dt):
     """Vectorized GT pose evaluation at many times (f64 via jax on CPU)."""
+    from ctrlvio_tpu.utils.hostmath import on_cpu
+
+    with on_cpu():
+        return _batched_pose_impl(knots_q, knots_p, ts, dt)
+
+
+def _batched_pose_impl(knots_q, knots_p, ts, dt):
     t_ns = np.round(np.asarray(ts) * S_TO_NS).astype(np.int64)
     dt_ns = np.int64(np.round(dt * S_TO_NS))
     i0 = (t_ns // dt_ns).astype(np.int32)
@@ -147,6 +160,13 @@ def _batched_pose(knots_q, knots_p, ts, dt):
 
 
 def generate(cfg: SimConfig) -> SimData:
+    from ctrlvio_tpu.utils.hostmath import on_cpu
+
+    with on_cpu():
+        return _generate_impl(cfg)
+
+
+def _generate_impl(cfg: SimConfig) -> SimData:
     rng = np.random.default_rng(cfg.seed)
     knots_q, knots_p = _smooth_knots(cfg, rng)
     dt = cfg.knot_dt
@@ -209,8 +229,13 @@ def generate(cfg: SimConfig) -> SimData:
             t_rows = np.where(vis, tf + np.clip(v_pix, 0, cfg.image_h - 1) * cfg.line_delay, tf)
         # report integer rows; re-project exactly at the reported row time so
         # (pts, rows) are consistent with the RS observation model t+row*ld
+        vis_fp = vis
         rows_all = np.round(np.clip(v_pix, 0, cfg.image_h - 1))
-        xn, yn, v_pix, vis = project_at(tf + np.where(vis, rows_all, 0.0) * cfg.line_delay)
+        xn, yn, v_pix, vis = project_at(tf + rows_all * cfg.line_delay)
+        # keep only observations whose reported row matches the row actually
+        # imaged at that exposure time (a real rolling shutter can't observe
+        # a feature on a row it isn't on)
+        vis = vis & vis_fp & (np.abs(v_pix - rows_all) < 3.0)
         ids = np.nonzero(vis)[0]
         pts = np.stack([xn[ids], yn[ids]], axis=1)
         if cfg.pixel_noise > 0:

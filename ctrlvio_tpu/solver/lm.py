@@ -75,7 +75,11 @@ def schur_solve(H, g, h_ll, g_l, H_cl, lam, col_mask, dtype_eps=1e-8):
     H_sc = H_d - H_cl.T @ (H_cl * inv_hll[:, None])
     g_sc = g - H_cl.T @ (g_l * inv_hll)
 
-    dx = jnp.linalg.solve(H_sc, -g_sc)
+    # Jacobi preconditioning: essential for f32 on TPU (bias information
+    # magnitudes ~1e6 vs knot blocks ~1e2 make H badly scaled)
+    s = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(H_sc), 1e-12, None))
+    H_n = H_sc * s[:, None] * s[None, :]
+    dx = s * jnp.linalg.solve(H_n, -(s * g_sc))
     dx = dx * col_mask
     dx_lm = -(g_l + H_cl @ dx) * inv_hll
     return dx, dx_lm

@@ -31,7 +31,15 @@ from . import assemble
 from .layout import (BiasFactors, ImageFactors, ImuFactors, PriorFactor,
                      SolveOptions, WindowConfig, WindowParams)
 
-EIG_EPS = 1e-8  # f32-appropriate truncation (reference uses 1e-30 in f64)
+EIG_REL_EPS = {jnp.float32.dtype: 1e-6, jnp.float64.dtype: 1e-12}
+
+
+def _eig_thresh(S):
+    """Relative eigenvalue truncation (the reference's absolute 1e-30,
+    `marginalization_factor.h:129`, is meaningless in f32; relative-to-max is
+    the robust equivalent)."""
+    rel = EIG_REL_EPS.get(S.dtype, 1e-6)
+    return jnp.maximum(jnp.max(S), 0.0) * rel + 1e-30
 
 
 def drop_mask(cfg: WindowConfig, drop_knots, drop_bias0: bool) -> jnp.ndarray:
@@ -86,7 +94,8 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     A_dd = A * d[:, None] * d[None, :]
     A_dd = 0.5 * (A_dd + A_dd.T)
     S, V = jnp.linalg.eigh(A_dd)
-    S_inv = jnp.where(S > EIG_EPS, 1.0 / jnp.where(S > EIG_EPS, S, 1.0), 0.0)
+    thresh = _eig_thresh(S)
+    S_inv = jnp.where(S > thresh, 1.0 / jnp.where(S > thresh, S, 1.0), 0.0)
     A_dd_inv = (V * S_inv[None, :]) @ V.T
 
     A_kd = A * k[:, None] * d[None, :]
@@ -96,7 +105,7 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     # square root of the kept C-block
     A_sc_cc = 0.5 * (A_sc[:C, :C] + A_sc[:C, :C].T)
     S2, V2 = jnp.linalg.eigh(A_sc_cc)
-    pos = S2 > EIG_EPS
+    pos = S2 > _eig_thresh(S2)
     S2_safe = jnp.where(pos, S2, 1.0)
     sqrt_S = jnp.where(pos, jnp.sqrt(S2_safe), 0.0)
     inv_sqrt_S = jnp.where(pos, 1.0 / jnp.sqrt(S2_safe), 0.0)

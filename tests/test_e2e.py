@@ -1,0 +1,63 @@
+"""End-to-end sliding-window replay on a synthetic rolling-shutter sequence:
+the full pipeline (predict, triangulate, BA, gauge, marginalization, slide)
+must track the ground-truth trajectory and calibrate the line delay online.
+(BASELINE configs 1-2 at test scale.)"""
+
+import numpy as np
+import pytest
+
+from ctrlvio_tpu.estimator.initializer import bootstrap_from_sim
+from ctrlvio_tpu.estimator.odometry import CtrlVIO, VIOConfig
+from ctrlvio_tpu.ops import so3
+from ctrlvio_tpu.sim import synthetic
+from ctrlvio_tpu.solver.layout import WindowConfig
+from ctrlvio_tpu.utils.ate import ate_rmse
+import jax.numpy as jnp
+
+
+def run_pipeline(duration=6.0, fix_ld=False, ld_init=0.0, seed=11, dtype=np.float64):
+    sim = synthetic.generate(synthetic.SimConfig(
+        duration=duration, n_landmarks=250, seed=seed))
+    cfg = VIOConfig(
+        window_config=WindowConfig(KW=48, NB=11, LM=256, OBS=1536, MIMU=512),
+        fix_ld=fix_ld, ld_init=ld_init, dtype=dtype)
+    q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
+    vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))
+
+    init = bootstrap_from_sim(sim)
+    for k in range(len(sim.imu_t_ns)):
+        vio.process_imu(sim.imu_t_ns[k], sim.gyro[k], sim.accel[k])
+    vio.set_initial_state(init.t_ns, init.q, init.p, init.bg, init.ba,
+                          init.gravity, v0=init.v)
+
+    est, gt = [], []
+    for fr in sim.frames:
+        out = vio.process_frame(fr.t_ns, fr.ids, fr.pts, fr.rows)
+        if out is not None:
+            q, p = out
+            est.append(p)
+            _, p_gt = sim.pose_at(fr.t_ns * 1e-9)
+            gt.append(p_gt)
+    return sim, vio, np.asarray(est), np.asarray(gt)
+
+
+@pytest.mark.slow
+def test_e2e_tracks_and_calibrates_ld():
+    sim, vio, est, gt = run_pipeline(duration=6.0, fix_ld=False, ld_init=0.0)
+    assert len(est) >= 45
+    # skip the online-calibration transient (ld converges from 0 within ~5
+    # keyframes of init); evaluate with the standard 4-DoF alignment
+    err = ate_rmse(est[10:], gt[10:], align="yaw")
+    assert err < 0.03, f"ATE {err:.4f} m"
+    # online line-delay calibration from 0 to ~29.47 us
+    assert abs(vio.traj.line_delay - sim.cfg.line_delay) < 1.5e-6, vio.traj.line_delay
+
+
+@pytest.mark.slow
+def test_e2e_fixed_ld_gs_mode():
+    """Line delay fixed at truth: accuracy at least as good (config 3 analogue)."""
+    sim, vio, est, gt = run_pipeline(
+        duration=4.0, fix_ld=True, ld_init=29.4737e-6, seed=13)
+    err = ate_rmse(est[5:], gt[5:], align="yaw")
+    assert err < 0.03, f"ATE {err:.4f} m"
+    assert vio.traj.line_delay == 29.4737e-6
