@@ -40,6 +40,9 @@ def main():
     else:
         import jax
 
+        # x64 enabled so the once-per-frame marginalization runs f64 on the
+        # host CPU; the hot solve stays explicitly f32 on the TPU
+        jax.config.update("jax_enable_x64", True)
         duration = args.duration or 20.0
         dtype = np.float32
 
@@ -97,6 +100,10 @@ def main():
         print(f"[bench] FAIL accuracy gates (ATE<{ate_gate}m, ld_err<5us)",
               file=sys.stderr)
         sys.exit(1)
+
+    n_timed = len(sim.frames)
+    phases = {k: round(v / max(n_timed, 1) * 1e3, 1) for k, v in vio.timing.items()}
+    print(f"[bench] per-frame phase ms: {phases}", file=sys.stderr)
 
     per_frame = float(np.median(frame_times))
     fps = 1.0 / per_frame

@@ -97,6 +97,9 @@ class CtrlVIO:
         self.ba = np.zeros((wc.NB, 3))
         self.gravity = np.array([0.0, 0.0, cfg.gravity_mag])
 
+        from collections import defaultdict
+
+        self.timing = defaultdict(float)  # per-phase cumulative seconds
         self.initialized = False
         self.frame_count = 0          # frames accumulated before init
         self.data_start_ns: Optional[int] = None
@@ -126,7 +129,16 @@ class CtrlVIO:
 
         self._solve = jax.jit(
             partial(lm.solve_window, cfg=wc), static_argnames=("opts",))
+        # the IMU-only predict touches no image factors/landmarks: use a
+        # minimal static config so its jit variant skips the image machinery
+        self._predict_cfg = wc._replace(OBS=8, LM=8)
+        self._solve_predict = jax.jit(
+            partial(lm.solve_window, cfg=self._predict_cfg),
+            static_argnames=("opts",))
         self._build_prior = jax.jit(
+            partial(marginalize.build_prior, cfg=wc), static_argnames=("opts",))
+        # f64 prior build on the host CPU (see _solve_window_ba)
+        self._build_prior_cpu = jax.jit(
             partial(marginalize.build_prior, cfg=wc), static_argnames=("opts",))
         self._restore = jax.jit(gauge.restore_gauge)
 
@@ -182,17 +194,27 @@ class CtrlVIO:
         self.bg[wc.NB - 1] = self.bg[wc.NB - 2]
         self.ba[wc.NB - 1] = self.ba[wc.NB - 2]
 
+        import time as _time
+
         # [3] extend trajectory + [4] IMU-only predict
+        t0 = _time.perf_counter()
         self._extend_and_predict(t_ns)
+        self.timing["predict"] += _time.perf_counter() - t0
 
         # [5] triangulate new landmarks at current spline estimate
+        t0 = _time.perf_counter()
         self._triangulate()
+        self.timing["triangulate"] += _time.perf_counter() - t0
 
         # [6-8] full BA + gauge + marginalization
+        t0 = _time.perf_counter()
         self._solve_window_ba()
+        self.timing["ba"] += _time.perf_counter() - t0
 
         # [9] slide
+        t0 = _time.perf_counter()
         self._slide_window()
+        self.timing["slide"] += _time.perf_counter() - t0
 
         q, p = self.traj.pose(t_ns)
         return q[0], p[0]
@@ -243,20 +265,21 @@ class CtrlVIO:
         if max_aft_ns <= max_bef_ns and not from_start:
             return
 
+        pc = self._predict_cfg
         t_lo = 0 if from_start else max_bef_ns
-        kq, kp, n_active = self.traj.window(self.win_knot0, wc.KW, np.float64)
+        kq, kp, n_active = self.traj.window(self.win_knot0, pc.KW, np.float64)
         params = WindowParams(
             knots_q=jnp.asarray(kq, self.jdt), knots_p=jnp.asarray(kp, self.jdt),
             bg=jnp.asarray(self.bg, self.jdt), ba=jnp.asarray(self.ba, self.jdt),
-            dinv=jnp.full((wc.LM,), 0.2, self.jdt),
+            dinv=jnp.full((pc.LM,), 0.2, self.jdt),
             ld=jnp.asarray(self.traj.line_delay, self.jdt),
         )
         imu = packing.pack_imu_factors(
             self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
-            t_lo, max_aft_ns, self.traj.dt, self.win_knot0, wc, self.cfg.dtype)
-        img = _empty_image_factors(wc, self.cfg.dtype)
-        bias = BiasFactors(sqrt_info=np.zeros((wc.NB - 1, 6), self.cfg.dtype),
-                           valid=np.zeros(wc.NB - 1, bool))
+            t_lo, max_aft_ns, self.traj.dt, self.win_knot0, pc, self.cfg.dtype)
+        img = _empty_image_factors(pc, self.cfg.dtype)
+        bias = BiasFactors(sqrt_info=np.zeros((pc.NB - 1, 6), self.cfg.dtype),
+                           valid=np.zeros(pc.NB - 1, bool))
 
         fixed = np.ones(wc.KW, bool)
         lo = 0 if from_start else (max_bef_idx - self.win_knot0 + 1)
@@ -265,9 +288,9 @@ class CtrlVIO:
         if from_start:
             fixed[:4] = True
 
-        p_out, stats = self._solve(
+        p_out, stats = self._solve_predict(
             params, _to_j(img), _to_j(imu), _to_j(bias),
-            empty_prior(wc, self.jdt), jnp.asarray(fixed), self._ext,
+            empty_prior(pc, self.jdt), jnp.asarray(fixed), self._ext,
             self._gravity_j, self._imu_info, self._sqrt_info_img,
             opts=self._predict_opts)
         self.traj.write_back(self.win_knot0, np.asarray(p_out.knots_q),
@@ -309,11 +332,16 @@ class CtrlVIO:
         if self.prior is None:
             fixed[:4] = True  # no prior yet: anchor the gauge explicitly
 
+        import time as _time
+
         opts = self._init_opts if init else self._ba_opts
+        t0 = _time.perf_counter()
         p_out, stats = self._solve(
             params, _to_j(img), _to_j(imu), _to_j(bias), prior,
             jnp.asarray(fixed), self._ext, self._gravity_j, self._imu_info,
             self._sqrt_info_img, opts=opts)
+        stats = jax.tree_util.tree_map(lambda x: x.block_until_ready(), stats)
+        self.timing["ba_solve"] += _time.perf_counter() - t0
         self.last_solve_stats = stats
 
         # [7] 4-DoF gauge restore about the window's first control point
@@ -331,16 +359,35 @@ class CtrlVIO:
         self.ba = np.array(p_out.ba, dtype=np.float64)
         self.features.set_depths(np.asarray(p_out.dinv, np.float64), cands)
 
-        # [8] marginalization prior (at the gauge-restored state)
+        # [8] marginalization prior (at the gauge-restored state).
+        # Built in f64 regardless of the solve dtype: the Schur complement +
+        # eigendecomposition spans too much dynamic range for f32, and a
+        # corrupted prior biases every subsequent solve. The result is cast
+        # back to the solve dtype (magnitudes are f32-representable).
         if self.marg_flag == MARGIN_OLD or init:
             k0 = 0  # ctrl(ts0) window-relative
             k1 = self.traj.ctrl_idx(self.kf_t_ns[1]) - self.win_knot0
             drop = np.zeros(wc.KW, bool)
             drop[k0:k1] = True
-            self.prior = self._build_prior(
-                p_out, _to_j(img), _to_j(imu), _to_j(bias), prior,
-                jnp.asarray(drop), self._ext, self._gravity_j, self._imu_info,
-                self._sqrt_info_img, opts=opts._replace(cauchy_c=1.0))
+            from ctrlvio_tpu.utils.hostmath import on_cpu
+
+            to64 = lambda t: jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float64)
+                if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x), t)
+            t0 = _time.perf_counter()
+            with on_cpu():
+                prior64 = self._build_prior_cpu(
+                    to64(p_out), to64(_to_j(img)), to64(_to_j(imu)),
+                    to64(_to_j(bias)), to64(prior), np.asarray(drop),
+                    to64(self._ext), np.asarray(self.gravity, np.float64),
+                    np.asarray(self._imu_info, np.float64),
+                    np.float64(self._sqrt_info_img),
+                    opts=opts._replace(cauchy_c=1.0))
+            self.prior = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x), self.jdt)
+                if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
+                prior64)
+            self.timing["prior"] += _time.perf_counter() - t0
 
     # ------------------------------------------------------------------
     def _slide_window(self):

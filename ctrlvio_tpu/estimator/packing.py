@@ -173,7 +173,10 @@ def bias_sqrt_info(imu_t_ns: np.ndarray, kf_t_ns: np.ndarray, sigma_wb: float,
         var_g = np.sum(dts**2) * sigma_wb**2
         var_a = np.sum(dts**2) * sigma_ab**2
         if var_g > 0:
-            si[i, :3] = 1.0 / np.sqrt(var_g)
-            si[i, 3:] = 1.0 / np.sqrt(var_a)
+            # cap the information: the raw 1/sigma values reach ~1e6 (H
+            # entries ~1e12), which destroys f32 normal equations; 1e4 still
+            # pins the biases to ~1e-4-level random walk per keyframe
+            si[i, :3] = min(1.0 / np.sqrt(var_g), 1e4)
+            si[i, 3:] = min(1.0 / np.sqrt(var_a), 1e4)
             valid[i] = True
     return BiasFactors(sqrt_info=si.astype(dtype), valid=valid)
