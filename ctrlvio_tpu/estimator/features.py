@@ -89,10 +89,9 @@ class FeatureTable:
         """Multi-view DLT for tracks without depth, using per-frame *camera*
         poses (≙ `feature_manager.cpp:173-223`). cam_q/cam_p: (NB, ...) world
         poses of the camera at each keyframe time."""
-        from ctrlvio_tpu.utils.hostmath import on_cpu
+        from ctrlvio_tpu.ops import so3np
 
-        with on_cpu():
-            R = np.asarray(so3.quat_to_matrix(jnp.asarray(cam_q)))
+        R = so3np.quat_to_matrix(np.asarray(cam_q))
         for tr in self.tracks.values():
             if not tr.is_candidate(self.window_size) or tr.estimated_depth > 0:
                 continue

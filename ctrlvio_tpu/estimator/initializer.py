@@ -44,16 +44,13 @@ def dead_reckon_poses(t_out_ns, imu_t_ns, gyro, accel, state: InitialState):
 
     Returns (q (T,4), p (T,3)). Used to initialize the first window's knots
     (far better conditioned than the reference's flat init + LM)."""
-    from ctrlvio_tpu.utils.hostmath import on_cpu
-
-    with on_cpu():
-        return _dead_reckon_impl(t_out_ns, imu_t_ns, gyro, accel, state)
+    return _dead_reckon_impl(t_out_ns, imu_t_ns, gyro, accel, state)
 
 
 def _dead_reckon_impl(t_out_ns, imu_t_ns, gyro, accel, state):
-    import jax
+    from ctrlvio_tpu.ops import so3np
 
-    q = jnp.asarray(state.q)
+    q = np.asarray(state.q, dtype=np.float64)
     p = np.asarray(state.p, dtype=np.float64).copy()
     v = np.asarray(state.v, dtype=np.float64).copy()
     g = state.gravity
@@ -72,13 +69,13 @@ def _dead_reckon_impl(t_out_ns, imu_t_ns, gyro, accel, state):
         for k in np.nonzero(neg)[0]:
             dt_back = t_out[k] * 1e-9
             out_p[k] = p + v * dt_back
-            out_q[k] = np.asarray(so3.boxplus(q, jnp.asarray(w0 * dt_back)))
+            out_q[k] = so3np.boxplus(q, w0 * dt_back)
         oi = int(np.sum(neg))
 
     def emit_until(t_ns, q, p):
         nonlocal oi
         while oi < len(t_out) and t_out[oi] <= t_ns:
-            out_q[oi] = np.asarray(q)
+            out_q[oi] = q
             out_p[oi] = p
             oi += 1
 
@@ -90,9 +87,9 @@ def _dead_reckon_impl(t_out_ns, imu_t_ns, gyro, accel, state):
     for k in range(1, len(ts)):
         dt = (ts[k] - ts[k - 1]) * 1e-9
         w_mid = 0.5 * (gy[k - 1] + gy[k]) - bg
-        a0 = np.asarray(so3.quat_rotate(q, jnp.asarray(ac[k - 1] - ba))) - g
-        q_new = so3.boxplus(q, jnp.asarray(w_mid * dt))
-        a1 = np.asarray(so3.quat_rotate(q_new, jnp.asarray(ac[k] - ba))) - g
+        a0 = so3np.quat_rotate(q, ac[k - 1] - ba) - g
+        q_new = so3np.boxplus(q, w_mid * dt)
+        a1 = so3np.quat_rotate(q_new, ac[k] - ba) - g
         a_mid = 0.5 * (a0 + a1)
         p = p + v * dt + 0.5 * a_mid * dt * dt
         v = v + a_mid * dt
@@ -100,7 +97,7 @@ def _dead_reckon_impl(t_out_ns, imu_t_ns, gyro, accel, state):
         emit_until(ts[k], q, p)
     # fill any remaining (beyond IMU) with the last state
     while oi < len(t_out):
-        out_q[oi] = np.asarray(q)
+        out_q[oi] = q
         out_p[oi] = p
         oi += 1
     return out_q, out_p

@@ -127,6 +127,10 @@ class CtrlVIO:
         self._predict_opts = SolveOptions(
             max_iters=cfg.predict_iters, lock_bias=True, fix_ld=True)
 
+        try:
+            self._solve_device = jax.devices()[0]
+        except RuntimeError:
+            self._solve_device = None
         self._solve = jax.jit(
             partial(lm.solve_window, cfg=wc), static_argnames=("opts",))
         # the IMU-only predict touches no image factors/landmarks: use a
@@ -135,11 +139,23 @@ class CtrlVIO:
         self._solve_predict = jax.jit(
             partial(lm.solve_window, cfg=self._predict_cfg),
             static_argnames=("opts",))
+        # constants reused by every predict solve (avoid per-frame allocs)
+        self._predict_img = _to_j(_empty_image_factors(self._predict_cfg, cfg.dtype))
+        self._predict_bias = _to_j(BiasFactors(
+            sqrt_info=np.zeros((wc.NB - 1, 6), cfg.dtype),
+            valid=np.zeros(wc.NB - 1, bool)))
+        self._predict_prior = empty_prior(self._predict_cfg, jdt)
         self._build_prior = jax.jit(
             partial(marginalize.build_prior, cfg=wc), static_argnames=("opts",))
-        # f64 prior build on the host CPU (see _solve_window_ba)
+        # f64 prior build on the host CPU (see _solve_window_ba); the marg
+        # subset keeps all its image factors but compacts landmarks into
+        # dense slots (the extended Schur system shrinks from C+LM to
+        # C+LM_marg, the dominant eigh cost)
+        self._marg_cfg = wc._replace(OBS=wc.OBS, MIMU=max(wc.MIMU // 4, 64),
+                                     LM=96)
         self._build_prior_cpu = jax.jit(
-            partial(marginalize.build_prior, cfg=wc), static_argnames=("opts",))
+            partial(marginalize.build_prior, cfg=self._marg_cfg),
+            static_argnames=("opts",))
         self._restore = jax.jit(gauge.restore_gauge)
 
     # ------------------------------------------------------------------
@@ -277,9 +293,8 @@ class CtrlVIO:
         imu = packing.pack_imu_factors(
             self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
             t_lo, max_aft_ns, self.traj.dt, self.win_knot0, pc, self.cfg.dtype)
-        img = _empty_image_factors(pc, self.cfg.dtype)
-        bias = BiasFactors(sqrt_info=np.zeros((pc.NB - 1, 6), self.cfg.dtype),
-                           valid=np.zeros(pc.NB - 1, bool))
+        img = self._predict_img
+        bias = self._predict_bias
 
         fixed = np.ones(wc.KW, bool)
         lo = 0 if from_start else (max_bef_idx - self.win_knot0 + 1)
@@ -289,8 +304,8 @@ class CtrlVIO:
             fixed[:4] = True
 
         p_out, stats = self._solve_predict(
-            params, _to_j(img), _to_j(imu), _to_j(bias),
-            empty_prior(pc, self.jdt), jnp.asarray(fixed), self._ext,
+            params, img, _to_j(imu), bias,
+            self._predict_prior, jnp.asarray(fixed), self._ext,
             self._gravity_j, self._imu_info, self._sqrt_info_img,
             opts=self._predict_opts)
         self.traj.write_back(self.win_knot0, np.asarray(p_out.knots_q),
@@ -374,19 +389,36 @@ class CtrlVIO:
             to64 = lambda t: jax.tree_util.tree_map(
                 lambda x: np.asarray(x, np.float64)
                 if np.issubdtype(np.asarray(x).dtype, np.floating) else np.asarray(x), t)
+            img_m = _compact_factors(img, img.valid & img.marg_drop,
+                                     self._marg_cfg.OBS)
+            imu_m = _compact_factors(imu, imu.valid & imu.marg_drop,
+                                     self._marg_cfg.MIMU)
+            # remap marginalized landmarks into dense slots
+            img_m, dinv_m = _compact_landmarks(
+                img_m, np.array(p_out.dinv, np.float64), self._marg_cfg.LM)
+            p_marg = p_out._replace(dinv=jnp.asarray(dinv_m, self.jdt))
+            # the prior comes out pre-rolled into the post-slide layout so
+            # nothing downstream has to block on it (fully async: CPU f64
+            # compute -> cast -> transfer to TPU, consumed next frame)
+            knot_shift = (self.traj.ctrl_idx(self.kf_t_ns[1])
+                          - self.traj.ctrl_idx(self.kf_t_ns[0]))
             t0 = _time.perf_counter()
             with on_cpu():
                 prior64 = self._build_prior_cpu(
-                    to64(p_out), to64(_to_j(img)), to64(_to_j(imu)),
+                    to64(p_marg), to64(img_m), to64(imu_m),
                     to64(_to_j(bias)), to64(prior), np.asarray(drop),
                     to64(self._ext), np.asarray(self.gravity, np.float64),
                     np.asarray(self._imu_info, np.float64),
                     np.float64(self._sqrt_info_img),
+                    knot_shift=jnp.asarray(knot_shift, jnp.int32),
+                    bias_shift=jnp.asarray(1, jnp.int32),
                     opts=opts._replace(cauchy_c=1.0))
-            self.prior = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(np.asarray(x), self.jdt)
-                if np.issubdtype(np.asarray(x).dtype, np.floating) else jnp.asarray(x),
-                prior64)
+                prior_cast = jax.tree_util.tree_map(
+                    lambda x: x.astype(self.jdt)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, prior64)
+            dev = self._solve_device
+            self.prior = (jax.device_put(prior_cast, dev)
+                          if dev is not None else prior_cast)
             self.timing["prior"] += _time.perf_counter() - t0
 
     # ------------------------------------------------------------------
@@ -398,23 +430,18 @@ class CtrlVIO:
             q, p = self.traj.pose(self.kf_t_ns[0])
             self.keyframes.append(KeyframePose(int(self.kf_t_ns[0]), q[0], p[0]))
 
-            from ctrlvio_tpu.utils.hostmath import on_cpu
+            from ctrlvio_tpu.ops import so3np
 
             cam_q, cam_p = self.traj.camera_pose(
                 self.kf_t_ns[:2], self.q_CtoI, self.p_CinI)
-            with on_cpu():
-                R = np.asarray(so3.quat_to_matrix(jnp.asarray(cam_q)))
+            R = so3np.quat_to_matrix(cam_q)
             self.features.slide_old(R[0], cam_p[0], R[1], cam_p[1])
 
-            old_k0 = self.traj.ctrl_idx(self.kf_t_ns[0])
+            # (the prior was already built pre-rolled into the new layout)
             self.kf_t_ns[:-1] = self.kf_t_ns[1:]
             self.bg[:-1] = self.bg[1:]
             self.ba[:-1] = self.ba[1:]
-            new_k0 = self.traj.ctrl_idx(self.kf_t_ns[0])
-            if self.prior is not None:
-                self.prior = marginalize.roll_prior(
-                    self.prior, new_k0 - old_k0, 1, wc)
-            self.win_knot0 = new_k0
+            self.win_knot0 = self.traj.ctrl_idx(self.kf_t_ns[0])
 
             # drop stale IMU (≙ RemoveIMUData ts[0]-5s)
             keep = self.imu_t_ns >= self.kf_t_ns[0] - 5 * S_TO_NS
@@ -443,3 +470,49 @@ def _empty_image_factors(wc: WindowConfig, dtype) -> ImageFactors:
 
 def _to_j(x):
     return jax.tree_util.tree_map(jnp.asarray, x)
+
+
+def _compact_factors(factors, sel, cap: int):
+    """Select rows where sel (bool mask over slot axis) and pad to cap.
+    Host-side numpy; keeps the NamedTuple structure."""
+    idx = np.nonzero(np.asarray(sel))[0]
+    if len(idx) > cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "marginalization factor capacity %d exceeded (%d); truncating",
+            cap, len(idx))
+        idx = idx[:cap]
+
+    def take(x):
+        x = np.asarray(x)
+        out = np.zeros((cap,) + x.shape[1:], dtype=x.dtype)
+        out[: len(idx)] = x[idx]
+        return out
+
+    return type(factors)(*(take(f) for f in factors))
+
+
+def _compact_landmarks(img_m: ImageFactors, dinv: np.ndarray, lm_cap: int):
+    """Remap the landmark slots referenced by a compacted marg factor set to
+    dense indices [0, n); landmarks beyond lm_cap are dropped entirely (all
+    their factors invalidated) so the prior never carries partial landmark
+    information."""
+    lm_idx = np.asarray(img_m.lm_idx)
+    valid = np.asarray(img_m.valid).copy()
+    used = np.unique(lm_idx[valid])
+    if len(used) > lm_cap:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "marginalized landmark capacity %d exceeded (%d); dropping extras",
+            lm_cap, len(used))
+        dropped = set(used[lm_cap:].tolist())
+        valid &= ~np.isin(lm_idx, list(dropped))
+        used = used[:lm_cap]
+    remap = np.zeros(int(lm_idx.max()) + 1 if len(lm_idx) else 1, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    new_idx = np.where(valid, remap[lm_idx], 0).astype(np.int32)
+    dinv_m = np.full(lm_cap, 0.2)
+    dinv_m[: len(used)] = dinv[used]
+    return img_m._replace(lm_idx=new_idx, valid=valid), dinv_m

@@ -45,12 +45,13 @@ class PreIntegration:
         self._step(dt, acc0, gyr0, acc, gyr)
 
     def _step(self, dt, acc0, gyr0, acc1, gyr1):
-        with on_cpu():
-            w = 0.5 * (gyr0 + gyr1) - self.bg
-            dq_new = np.asarray(so3.boxplus(jnp.asarray(self.dq), jnp.asarray(w * dt)))
-            a0 = np.asarray(so3.quat_rotate(jnp.asarray(self.dq), jnp.asarray(acc0 - self.ba)))
-            a1 = np.asarray(so3.quat_rotate(jnp.asarray(dq_new), jnp.asarray(acc1 - self.ba)))
-            a = 0.5 * (a0 + a1)
+        from ctrlvio_tpu.ops import so3np
+
+        w = 0.5 * (gyr0 + gyr1) - self.bg
+        dq_new = so3np.boxplus(self.dq, w * dt)
+        a0 = so3np.quat_rotate(self.dq, acc0 - self.ba)
+        a1 = so3np.quat_rotate(dq_new, acc1 - self.ba)
+        a = 0.5 * (a0 + a1)
         # first-order right-tangent recursion (≙ the theta/bg block of the
         # VINS F matrix, `integration_base.h:140-172`):
         #   d theta' = (I - hat(w_mid dt)) d theta - dt * d bg

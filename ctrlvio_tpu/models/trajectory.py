@@ -90,25 +90,25 @@ class Trajectory:
 
     # -- pose queries (host, f64) ----------------------------------------
     def pose(self, t_ns):
-        """IMU pose at int64-ns times (scalar or array). Returns (q, p)."""
-        from ctrlvio_tpu.utils.hostmath import on_cpu
+        """IMU pose at int64-ns times (scalar or array). Returns (q, p).
+        Pure numpy — called per frame on the host."""
+        from ctrlvio_tpu.ops import so3np
 
-        with on_cpu():
-            return self._pose_impl(t_ns)
-
-    def _pose_impl(self, t_ns):
         t_ns = np.atleast_1d(np.asarray(t_ns, dtype=np.int64))
-        i0 = (t_ns // self.dt_ns).astype(np.int32)
+        i0 = np.clip((t_ns // self.dt_ns).astype(np.int64), 0, self.n - 4)
         u = (t_ns % self.dt_ns).astype(np.float64) / float(self.dt_ns)
-        q4 = spline.gather_local(jnp.asarray(self.knots_q[: self.n]), jnp.asarray(i0))
-        p4 = spline.gather_local(jnp.asarray(self.knots_p[: self.n]), jnp.asarray(i0))
-        q = np.asarray(jax.vmap(spline.so3_eval)(q4, jnp.asarray(u)))
-        p = np.asarray(jax.vmap(lambda a, b: spline.rd_eval(a, b, 1.0 / self.dt, 0))(p4, jnp.asarray(u)))
+        idx = i0[:, None] + np.arange(4)
+        q4 = self.knots_q[idx]
+        p4 = self.knots_p[idx]
+        q = so3np.so3_eval(q4, u)
+        p = so3np.rd_eval(p4, u, 1.0 / self.dt, 0)
         return q, p
 
     def camera_pose(self, t_ns, q_CtoI, p_CinI):
         """≙ `Trajectory::GetCameraPose` (`trajectory.h:90`)."""
+        from ctrlvio_tpu.ops import so3np
+
         q, p = self.pose(t_ns)
-        qc = np.asarray(so3.quat_mul(jnp.asarray(q), jnp.asarray(q_CtoI)[None]))
-        pc = p + np.asarray(so3.quat_rotate(jnp.asarray(q), jnp.asarray(p_CinI)[None]))
+        qc = so3np.quat_mul(q, np.asarray(q_CtoI)[None])
+        pc = p + so3np.quat_rotate(q, np.asarray(p_CinI)[None])
         return qc, pc

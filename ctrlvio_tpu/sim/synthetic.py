@@ -89,18 +89,14 @@ class SimData:
     ba: np.ndarray = None
 
     def pose_at(self, t_sec):
-        """GT IMU pose at time t (seconds). Returns (quat, pos)."""
-        from ctrlvio_tpu.utils.hostmath import on_cpu
+        """GT IMU pose at time t (seconds). Returns (quat, pos). Numpy."""
+        from ctrlvio_tpu.ops import so3np
 
-        with on_cpu():
-            return self._pose_at_impl(t_sec)
-
-    def _pose_at_impl(self, t_sec):
         i0, u = grid_coords(np.asarray(t_sec), self.cfg.knot_dt)
         q4 = self.knots_q[i0 : i0 + 4]
         p4 = self.knots_p[i0 : i0 + 4]
-        q = np.asarray(spline.so3_eval(jnp.asarray(q4), jnp.asarray(u)))
-        p = np.asarray(spline.rd_eval(jnp.asarray(p4), jnp.asarray(u), 1.0 / self.cfg.knot_dt, 0))
+        q = so3np.so3_eval(q4, np.float64(u))
+        p = so3np.rd_eval(p4, np.float64(u), 1.0 / self.cfg.knot_dt, 0)
         return q, p
 
 

@@ -65,26 +65,16 @@ def _image_blocks(params: WindowParams, img: ImageFactors, ext, cfg: WindowConfi
     p4j = spline.gather_local(params.knots_p, s_j)
     dinv = params.dinv[img.lm_idx]
 
-    z43 = jnp.zeros((4, 3), dtype=p4i.dtype)
-    z1 = jnp.zeros((), dtype=p4i.dtype)
+    from ctrlvio_tpu.ops.reproj_analytic import reproj_analytic
 
     def one(q4i, p4i, q4j, p4j, dinv, fi, fj, sh_i, sh_j, row_i, row_j, pt_i, pt_j):
-        def f(xi_ri, xi_pi, xi_rj, xi_pj, d_dinv, d_ld):
-            return F.reproj_residual_tangent(
-                xi_ri, xi_pi, xi_rj, xi_pj, d_dinv, d_ld,
-                q4i, p4i, q4j, p4j, dinv, ld, fi, fj, sh_i, sh_j,
-                row_i, row_j, inv_dt, pt_i, pt_j, ext, sqrt_info,
-            )
+        return reproj_analytic(q4i, p4i, q4j, p4j, dinv, ld, fi, fj, sh_i,
+                               sh_j, row_i, row_j, inv_dt, pt_i, pt_j, ext,
+                               sqrt_info)
 
-        r = f(z43, z43, z43, z43, z1, z1)
-        jac = jax.jacfwd(f, argnums=(0, 1, 2, 3, 4, 5))(z43, z43, z43, z43, z1, z1)
-        return r, jac
-
-    pt_i3 = img.pt_i
-    pt_j3 = img.pt_j
-    r, (J_ri, J_pi, J_rj, J_pj, J_d, J_ld) = jax.vmap(one)(
+    r, J_ri, J_pi, J_rj, J_pj, J_d, J_ld = jax.vmap(one)(
         q4i, p4i, q4j, p4j, dinv, img.f_i, img.f_j, shift_i, shift_j,
-        img.row_i, img.row_j, pt_i3, pt_j3,
+        img.row_i, img.row_j, img.pt_i, img.pt_j,
     )
     return r, J_ri, J_pi, J_rj, J_pj, J_d, J_ld, s_i, s_j
 

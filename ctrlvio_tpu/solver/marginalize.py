@@ -60,8 +60,13 @@ def drop_mask(cfg: WindowConfig, drop_knots, drop_bias0: bool) -> jnp.ndarray:
 def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                 bias: BiasFactors, old_prior: PriorFactor, drop_knots,
                 ext, gravity, imu_info, sqrt_info_img,
-                cfg: WindowConfig, opts: SolveOptions) -> PriorFactor:
-    """Construct the new prior after a MARGIN_OLD solve."""
+                cfg: WindowConfig, opts: SolveOptions,
+                knot_shift=None, bias_shift=None) -> PriorFactor:
+    """Construct the new prior after a MARGIN_OLD solve.
+
+    If knot_shift/bias_shift are given (traced int32), the output prior is
+    expressed directly in the *post-slide* window layout (column roll fused
+    into the build — keeps the whole prior pipeline asynchronous)."""
     dtype = params.knots_p.dtype
     C, LM = cfg.C, cfg.LM
 
@@ -113,10 +118,53 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     r_lin = inv_sqrt_S[:, None] * V2.T @ b_sc[:C]
     r_lin = r_lin.reshape(-1) if r_lin.ndim > 1 else r_lin
 
-    return PriorFactor(
+    out = PriorFactor(
         J=J_lin, r0=r_lin,
         knots_q0=params.knots_q, knots_p0=params.knots_p,
         bg0=params.bg, ba0=params.ba, ld0=params.ld,
+    )
+    if knot_shift is not None:
+        out = _roll_prior_traced(out, knot_shift, bias_shift, cfg)
+    return out
+
+
+def _roll_prior_traced(prior: PriorFactor, knot_shift, bias_shift,
+                       cfg: WindowConfig) -> PriorFactor:
+    """In-graph column/row roll of the prior into the post-slide layout
+    (dynamic shifts; zero-fill beyond the window edge)."""
+    KW, NB, C = cfg.KW, cfg.NB, cfg.C
+    dtype = prior.J.dtype
+    ks3 = 3 * knot_shift
+    bs3 = 3 * bias_shift
+
+    def roll_cols(J, start, size, shift):
+        idx = jnp.arange(size) + shift
+        ok = idx < size
+        block = jnp.take(J[:, start : start + size],
+                         jnp.clip(idx, 0, size - 1), axis=1)
+        return J.at[:, start : start + size].set(block * ok[None, :].astype(dtype))
+
+    J = prior.J
+    J = roll_cols(J, 0, 3 * KW, ks3)
+    J = roll_cols(J, 3 * KW, 3 * KW, ks3)
+    J = roll_cols(J, 6 * KW, 3 * NB, bs3)
+    J = roll_cols(J, 6 * KW + 3 * NB, 3 * NB, bs3)
+
+    def roll_rows(a, shift, fill):
+        n = a.shape[0]
+        idx = jnp.arange(n) + shift
+        ok = (idx < n)[:, None]
+        out = jnp.take(a, jnp.clip(idx, 0, n - 1), axis=0)
+        return jnp.where(ok, out, jnp.asarray(fill, dtype=a.dtype))
+
+    ident = jnp.zeros((4,), dtype=dtype).at[0].set(1.0)
+    return PriorFactor(
+        J=J, r0=prior.r0,
+        knots_q0=roll_rows(prior.knots_q0, knot_shift, ident),
+        knots_p0=roll_rows(prior.knots_p0, knot_shift, 0.0),
+        bg0=roll_rows(prior.bg0, bias_shift, 0.0),
+        ba0=roll_rows(prior.ba0, bias_shift, 0.0),
+        ld0=prior.ld0,
     )
 
 
