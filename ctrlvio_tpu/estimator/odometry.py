@@ -66,6 +66,7 @@ class VIOConfig:
     predict_iters: int = 8
     init_ba_iters: int = 30
     dtype: type = np.float32
+    use_native: bool = True  # C++ host runtime (csrc/) when available
 
 
 @dataclass
@@ -84,7 +85,13 @@ class CtrlVIO:
         self.wc = wc
         self.traj = Trajectory(cfg.knot_dt, cfg.ld_init, cfg.fix_ld,
                                cfg.ld_lower, cfg.ld_upper)
-        self.features = FeatureTable(wc.NB - 1, cfg.min_parallax)
+        from . import native as native_mod
+
+        self.use_native = bool(cfg.use_native and native_mod.available())
+        if self.use_native:
+            self.features = native_mod.NativeFeatureTable(wc.NB - 1, cfg.min_parallax)
+        else:
+            self.features = FeatureTable(wc.NB - 1, cfg.min_parallax)
         self.q_CtoI = np.asarray(q_CtoI, dtype=np.float64)
         self.p_CinI = np.asarray(p_CinI, dtype=np.float64)
 
@@ -127,6 +134,12 @@ class CtrlVIO:
         self._predict_opts = SolveOptions(
             max_iters=cfg.predict_iters, lock_bias=True, fix_ld=True)
 
+        try:
+            # let the f64 prior build on the CPU overlap with TPU solves and
+            # host bookkeeping (CPU dispatch is synchronous by default)
+            jax.config.update("jax_cpu_enable_async_dispatch", True)
+        except Exception:
+            pass
         try:
             self._solve_device = jax.devices()[0]
         except RuntimeError:
@@ -324,9 +337,14 @@ class CtrlVIO:
         self.win_knot0 = self.traj.ctrl_idx(self.kf_t_ns[0])
         kq, kp, n_active = self.traj.window(self.win_knot0, wc.KW, np.float64)
 
-        img, dinv0, cands = packing.pack_image_factors(
-            list(self.features.tracks.values()), self.kf_t_ns, self.traj.dt,
-            self.win_knot0, wc, cfg.dtype)
+        if self.use_native:
+            img, dinv0, _ = self.features.pack_image_factors(
+                self.kf_t_ns, self.traj.dt, self.win_knot0, wc, cfg.dtype)
+            cands = None
+        else:
+            img, dinv0, cands = packing.pack_image_factors(
+                list(self.features.tracks.values()), self.kf_t_ns, self.traj.dt,
+                self.win_knot0, wc, cfg.dtype)
         t_lo = self.win_knot0 * int(self.traj.dt_ns)
         imu = packing.pack_imu_factors(
             self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
@@ -372,7 +390,10 @@ class CtrlVIO:
         self.traj.line_delay = float(p_out.ld)
         self.bg = np.array(p_out.bg, dtype=np.float64)  # writable copies
         self.ba = np.array(p_out.ba, dtype=np.float64)
-        self.features.set_depths(np.asarray(p_out.dinv, np.float64), cands)
+        if self.use_native:
+            self.features.set_depths(np.array(p_out.dinv, np.float32))
+        else:
+            self.features.set_depths(np.asarray(p_out.dinv, np.float64), cands)
 
         # [8] marginalization prior (at the gauge-restored state).
         # Built in f64 regardless of the solve dtype: the Schur complement +

@@ -124,3 +124,16 @@ def rd_eval(p4, u, inv_dt, deriv=0):
     _, MS = _mats()
     lam = _u_pow(u, deriv) @ MS.T * (inv_dt**deriv)
     return np.einsum("...k,...kd->...d", lam, p4)
+
+
+def so3_vel_body(q4, u, inv_dt):
+    """Body angular velocity of the cumulative SO(3) spline (numpy)."""
+    MC, _ = _mats()
+    lam = _u_pow(u, 0) @ MC.T
+    dlam = _u_pow(u, 1) @ MC.T * inv_dt
+    d = quat_log(quat_mul(quat_conj(q4[..., :-1, :]), q4[..., 1:, :]))
+    w = np.zeros(q4.shape[:-2] + (3,))
+    for i in range(3):
+        kd = lam[..., i + 1 : i + 2] * d[..., i, :]
+        w = quat_rotate(quat_exp(-kd), w) + dlam[..., i + 1 : i + 2] * d[..., i, :]
+    return w

@@ -124,35 +124,32 @@ def _smooth_knots(cfg: SimConfig, rng):
         rot_steps[:, k] = np.convolve(rot_steps[:, k], kernel, mode="same")
         pos_steps[:, k] = np.convolve(pos_steps[:, k], kernel, mode="same")
 
+    from ctrlvio_tpu.ops import so3np
+
     qs = np.zeros((n_knots, 4))
     qs[0] = [1, 0, 0, 0]
     for i in range(1, n_knots):
-        qs[i] = np.asarray(so3.boxplus(jnp.asarray(qs[i - 1]), jnp.asarray(rot_steps[i])))
+        qs[i] = so3np.boxplus(qs[i - 1], rot_steps[i])
     ps = np.cumsum(pos_steps, axis=0)
     return qs, ps
 
 
 def _batched_pose(knots_q, knots_p, ts, dt):
-    """Vectorized GT pose evaluation at many times (f64 via jax on CPU)."""
-    from ctrlvio_tpu.utils.hostmath import on_cpu
+    """Vectorized GT pose evaluation at many times (numpy, host)."""
+    from ctrlvio_tpu.ops import so3np
 
-    with on_cpu():
-        return _batched_pose_impl(knots_q, knots_p, ts, dt)
-
-
-def _batched_pose_impl(knots_q, knots_p, ts, dt):
     t_ns = np.round(np.asarray(ts) * S_TO_NS).astype(np.int64)
     dt_ns = np.int64(np.round(dt * S_TO_NS))
-    i0 = (t_ns // dt_ns).astype(np.int32)
+    i0 = np.clip((t_ns // dt_ns).astype(np.int64), 0, len(knots_q) - 4)
     u = (t_ns % dt_ns).astype(np.float64) / float(dt_ns)
-    q4 = spline.gather_local(jnp.asarray(knots_q), jnp.asarray(i0))
-    p4 = spline.gather_local(jnp.asarray(knots_p), jnp.asarray(i0))
-    uj = jnp.asarray(u)
-    q = jax.vmap(spline.so3_eval)(q4, uj)
-    p = jax.vmap(lambda a, b: spline.rd_eval(a, b, 1.0 / dt, 0))(p4, uj)
-    w = jax.vmap(lambda a, b: spline.so3_vel_body(a, b, 1.0 / dt))(q4, uj)
-    acc = jax.vmap(lambda a, b: spline.rd_eval(a, b, 1.0 / dt, 2))(p4, uj)
-    return np.asarray(q), np.asarray(p), np.asarray(w), np.asarray(acc)
+    idx = i0[:, None] + np.arange(4)
+    q4 = np.asarray(knots_q)[idx]
+    p4 = np.asarray(knots_p)[idx]
+    q = so3np.so3_eval(q4, u)
+    p = so3np.rd_eval(p4, u, 1.0 / dt, 0)
+    w = so3np.so3_vel_body(q4, u, 1.0 / dt)
+    acc = so3np.rd_eval(p4, u, 1.0 / dt, 2)
+    return q, p, w, acc
 
 
 def generate(cfg: SimConfig) -> SimData:
@@ -171,8 +168,10 @@ def _generate_impl(cfg: SimConfig) -> SimData:
     # --- IMU samples ---------------------------------------------------
     t_max = (len(knots_q) - 3) * dt - 2e-3
     imu_ts = np.arange(0.0, min(cfg.duration, t_max), 1.0 / cfg.imu_rate)
+    from ctrlvio_tpu.ops import so3np
+
     q, p, w, acc = _batched_pose(knots_q, knots_p, imu_ts, dt)
-    Rt = np.asarray(so3.quat_to_matrix(jnp.asarray(q)))  # body->world
+    Rt = so3np.quat_to_matrix(q)  # body->world
     accel_body = np.einsum("nij,nj->ni", Rt.transpose(0, 2, 1), acc + g_vec)
 
     bg = rng.normal(size=3) * cfg.gyro_bias
@@ -188,8 +187,8 @@ def _generate_impl(cfg: SimConfig) -> SimData:
     lm = lm + np.array([0.0, 0.0, 1.5])
 
     # camera extrinsics
-    q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(cfg.ext_rot))))
-    R_CtoI = np.asarray(so3.quat_to_matrix(jnp.asarray(q_CtoI)))
+    q_CtoI = so3np.quat_exp(np.array(cfg.ext_rot))
+    R_CtoI = so3np.quat_to_matrix(q_CtoI)
     p_CinI = np.array(cfg.ext_pos)
 
     # --- camera frames (rolling shutter) --------------------------------
@@ -197,7 +196,7 @@ def _generate_impl(cfg: SimConfig) -> SimData:
     frame_ts = np.arange(0.3, min(cfg.duration, t_max) - 0.1, 1.0 / cfg.cam_rate)
     def project_at(t_rows):
         qf, pf, _, _ = _batched_pose(knots_q, knots_p, t_rows, dt)
-        Rf = np.asarray(so3.quat_to_matrix(jnp.asarray(qf)))  # IMU->world
+        Rf = so3np.quat_to_matrix(qf)  # IMU->world
         # world -> camera: X_c = R_CtoI^T (R_IW^T (X_w - p_I) - p_CinI)
         X_i = np.einsum("nij,nj->ni", Rf.transpose(0, 2, 1), lm - pf)
         X_c = np.einsum("ij,nj->ni", R_CtoI.T, X_i - p_CinI)
