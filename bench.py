@@ -41,8 +41,14 @@ def main():
         import jax
 
         # x64 enabled so the once-per-frame marginalization runs f64 on the
-        # host CPU; the hot solve stays explicitly f32 on the TPU
+        # host CPU; the hot solve stays explicitly f32 on the TPU.
+        # async CPU dispatch must be set before backend init so the prior
+        # build overlaps with TPU solves.
         jax.config.update("jax_enable_x64", True)
+        try:
+            jax.config.update("jax_cpu_enable_async_dispatch", True)
+        except Exception:
+            pass
         duration = args.duration or 20.0
         dtype = np.float32
 

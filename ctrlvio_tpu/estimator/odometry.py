@@ -67,6 +67,11 @@ class VIOConfig:
     init_ba_iters: int = 30
     dtype: type = np.float32
     use_native: bool = True  # C++ host runtime (csrc/) when available
+    # bootstrap mode: "external" (set_initial_state is called by the user),
+    # "static" (stationary IMU init, ≙ C15), or "visual" (SfM + alignment,
+    # ≙ C19's VIOInitialization)
+    bootstrap: str = "external"
+    excite_threshold: float = 0.25
 
 
 @dataclass
@@ -135,12 +140,6 @@ class CtrlVIO:
             max_iters=cfg.predict_iters, lock_bias=True, fix_ld=True)
 
         try:
-            # let the f64 prior build on the CPU overlap with TPU solves and
-            # host bookkeeping (CPU dispatch is synchronous by default)
-            jax.config.update("jax_cpu_enable_async_dispatch", True)
-        except Exception:
-            pass
-        try:
             self._solve_device = jax.devices()[0]
         except RuntimeError:
             self._solve_device = None
@@ -164,8 +163,8 @@ class CtrlVIO:
         # subset keeps all its image factors but compacts landmarks into
         # dense slots (the extended Schur system shrinks from C+LM to
         # C+LM_marg, the dominant eigh cost)
-        self._marg_cfg = wc._replace(OBS=wc.OBS, MIMU=max(wc.MIMU // 4, 64),
-                                     LM=96)
+        self._marg_cfg = wc._replace(OBS=min(wc.OBS, 512),
+                                     MIMU=max(wc.MIMU // 4, 64), LM=96)
         self._build_prior_cpu = jax.jit(
             partial(marginalize.build_prior, cfg=self._marg_cfg),
             static_argnames=("opts",))
@@ -175,11 +174,55 @@ class CtrlVIO:
     # ingest
     # ------------------------------------------------------------------
     def process_imu(self, t_ns: int, gyro, accel):
+        if self.data_start_ns is None and self.cfg.bootstrap != "external":
+            self._boot_feed_imu(int(t_ns), gyro, accel)
         if self.data_start_ns is not None:
             t_ns = int(t_ns) - self.data_start_ns
         self.imu_t_ns = np.append(self.imu_t_ns, np.int64(t_ns))
         self.imu_gyro = np.vstack([self.imu_gyro, np.asarray(gyro)[None]])
         self.imu_accel = np.vstack([self.imu_accel, np.asarray(accel)[None]])
+
+    # ------------------------------------------------------------------
+    # self-bootstrap (≙ the init state machine in ProcessVIOData,
+    # `odometry_manager.cpp:178-247`)
+    # ------------------------------------------------------------------
+    def _boot_feed_imu(self, t_ns, gyro, accel):
+        from .initializer import StaticInitializer
+
+        if self.cfg.bootstrap == "static":
+            if not hasattr(self, "_static_init"):
+                self._static_init = StaticInitializer(
+                    excite_threshold=0.5, gravity_mag=self.cfg.gravity_mag)
+            st = self._static_init.feed(t_ns, gyro, accel)
+            if st is not None:
+                self._pending_init = st
+        elif self.cfg.bootstrap == "visual":
+            if not hasattr(self, "_vio_init"):
+                from .vio_init import VIOInitializer
+
+                self._vio_init = VIOInitializer(
+                    self.q_CtoI, self.p_CinI, gravity_mag=self.cfg.gravity_mag,
+                    window_size=self.wc.NB - 1,
+                    excite_threshold=self.cfg.excite_threshold)
+            self._vio_init.feed_imu(t_ns, gyro, accel)
+
+    def _boot_feed_frame(self, t_ns, ids, pts) -> bool:
+        """Returns True once the bootstrap produced an initial state (and
+        set_initial_state was applied)."""
+        st = None
+        if self.cfg.bootstrap == "static":
+            st = getattr(self, "_pending_init", None)
+            if st is not None:
+                st.t_ns = t_ns  # anchor at this frame
+                q0, p0 = st.q, st.p
+        elif self.cfg.bootstrap == "visual":
+            if hasattr(self, "_vio_init"):
+                st = self._vio_init.feed_frame(t_ns, ids, pts)
+        if st is None:
+            return False
+        self.set_initial_state(st.t_ns, st.q, st.p, st.bg, st.ba, st.gravity,
+                               v0=st.v)
+        return True
 
     def set_initial_state(self, t0_ns: int, q0, p0, bg, ba, gravity, v0=None):
         """Bootstrap state (≙ SetInitialState, `odometry_manager.cpp:416-448`):
@@ -209,6 +252,10 @@ class CtrlVIO:
     def process_frame(self, t_ns: int, ids, pts, rows):
         """Feed one feature frame. Returns the current IMU pose estimate
         (q, p) at the frame time, or None before initialization."""
+        if self.data_start_ns is None and self.cfg.bootstrap != "external":
+            if not self._boot_feed_frame(int(t_ns), ids, pts):
+                return None
+            # fall through: this frame becomes the first window frame
         assert self.data_start_ns is not None, "call set_initial_state first"
         t_ns = int(t_ns) - self.data_start_ns
         wc = self.wc
@@ -332,6 +379,10 @@ class CtrlVIO:
 
     # ------------------------------------------------------------------
     def _solve_window_ba(self, init: bool = False):
+        import time as _time
+
+        _t = _time.perf_counter
+        t_pack0 = _t()
         wc = self.wc
         cfg = self.cfg
         self.win_knot0 = self.traj.ctrl_idx(self.kf_t_ns[0])
@@ -352,6 +403,11 @@ class CtrlVIO:
             cfg.dtype)
         bias = packing.bias_sqrt_info(self.imu_t_ns, self.kf_t_ns, cfg.sigma_bg,
                                       cfg.sigma_ba, wc, cfg.dtype)
+        if self.prior is not None and not getattr(self, "_prior_on_device", True):
+            dev = self._solve_device
+            if dev is not None and dev.platform != "cpu":
+                self.prior = jax.device_put(self.prior, dev)
+            self._prior_on_device = True
         prior = self.prior if self.prior is not None else empty_prior(wc, self.jdt)
 
         params = WindowParams(
@@ -360,15 +416,17 @@ class CtrlVIO:
             dinv=jnp.asarray(dinv0, self.jdt),
             ld=jnp.asarray(self.traj.line_delay, self.jdt),
         )
+        # no knots are hard-fixed (≙ UpdateTrajectory, which never calls
+        # SetFixedIndex): LM damping spans the 4-DoF gauge null space and the
+        # post-solve restore re-anchors yaw+position. Hard-anchoring the
+        # first knots would lock in any gravity tilt of the bootstrap frame
+        # (pitch/roll ARE observable and must stay free to rotate).
         fixed = np.ones(wc.KW, bool)
         fixed[:n_active] = False
-        if self.prior is None:
-            fixed[:4] = True  # no prior yet: anchor the gauge explicitly
-
-        import time as _time
+        self.timing["ba_pack"] += _t() - t_pack0
 
         opts = self._init_opts if init else self._ba_opts
-        t0 = _time.perf_counter()
+        t0 = _t()
         p_out, stats = self._solve(
             params, _to_j(img), _to_j(imu), _to_j(bias), prior,
             jnp.asarray(fixed), self._ext, self._gravity_j, self._imu_info,
@@ -378,13 +436,16 @@ class CtrlVIO:
         self.last_solve_stats = stats
 
         # [7] 4-DoF gauge restore about the window's first control point
+        t0 = _t()
         q_new, p_new = self._restore(
             p_out.knots_q, p_out.knots_p,
             jnp.asarray(kq[0], self.jdt), jnp.asarray(kp[0], self.jdt),
             0, 0)
         p_out = p_out._replace(knots_q=q_new, knots_p=p_new)
+        self.timing["ba_gauge"] += _t() - t0
 
         # write back state
+        t0 = _t()
         self.traj.write_back(self.win_knot0, np.asarray(p_out.knots_q),
                              np.asarray(p_out.knots_p), n_active)
         self.traj.line_delay = float(p_out.ld)
@@ -394,6 +455,7 @@ class CtrlVIO:
             self.features.set_depths(np.array(p_out.dinv, np.float32))
         else:
             self.features.set_depths(np.asarray(p_out.dinv, np.float64), cands)
+        self.timing["ba_writeback"] += _t() - t0
 
         # [8] marginalization prior (at the gauge-restored state).
         # Built in f64 regardless of the solve dtype: the Schur complement +
@@ -427,7 +489,9 @@ class CtrlVIO:
             with on_cpu():
                 prior64 = self._build_prior_cpu(
                     to64(p_marg), to64(img_m), to64(imu_m),
-                    to64(_to_j(bias)), to64(prior), np.asarray(drop),
+                    to64(_to_j(bias)),
+                    getattr(self, "_prior_cpu64", None) or to64(prior),
+                    np.asarray(drop),
                     to64(self._ext), np.asarray(self.gravity, np.float64),
                     np.asarray(self._imu_info, np.float64),
                     np.float64(self._sqrt_info_img),
@@ -437,9 +501,13 @@ class CtrlVIO:
                 prior_cast = jax.tree_util.tree_map(
                     lambda x: x.astype(self.jdt)
                     if jnp.issubdtype(x.dtype, jnp.floating) else x, prior64)
-            dev = self._solve_device
-            self.prior = (jax.device_put(prior_cast, dev)
-                          if dev is not None else prior_cast)
+            # keep the f64 CPU result for the next marg build (avoids a
+            # device roundtrip); the cast copy transfers to the solver device
+            # just-in-time at the next BA (an eager device_put here would
+            # stall the TPU stream behind the async CPU compute)
+            self._prior_cpu64 = prior64
+            self.prior = prior_cast
+            self._prior_on_device = False
             self.timing["prior"] += _time.perf_counter() - t0
 
     # ------------------------------------------------------------------

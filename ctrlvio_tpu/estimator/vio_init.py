@@ -296,8 +296,13 @@ def _sfm_ba(R, t, points, obs, l, F, iters=12):
                 continue
             z = Xc[2]
             r = Xc[:2] / z - x
+            # Huber robustification: rolling-shutter skew makes fast-motion
+            # observations outliers for the GS model used here
+            rn = np.linalg.norm(r)
+            w = 1.0 if rn < 0.01 else np.sqrt(0.01 / rn)
+            r = r * w
             cost += r @ r
-            Jp = np.array([[1 / z, 0, -Xc[0] / z**2], [0, 1 / z, -Xc[1] / z**2]])
+            Jp = w * np.array([[1 / z, 0, -Xc[0] / z**2], [0, 1 / z, -Xc[1] / z**2]])
             JR = -Jp @ R[f] @ _skew(X)
             Jt = Jp
             JX = Jp @ R[f]
@@ -561,6 +566,16 @@ class VIOInitializer:
         sfm = global_sfm(F, tracks, l, R_rel, t_rel)
         if sfm is None:
             return None
+        # quality gate: mean reprojection error (RS-distorted fast-motion
+        # windows fail here and we retry on the next frame, ≙ the
+        # retry-every-frame behavior of `vio_initial.cpp:42-56`)
+        errs = []
+        for (fid, f), x in ((k, v) for k, v in _iter_obs(tracks) if k[0] in sfm.points):
+            Xc = sfm.R[f] @ sfm.points[fid] + sfm.t[f]
+            if Xc[2] > 1e-3:
+                errs.append(np.linalg.norm(Xc[:2] / Xc[2] - x))
+        if not errs or np.mean(errs) > 0.02:
+            return None
 
         # camera poses in world: R_c2w, p_c
         R_c2w = np.transpose(sfm.R, (0, 2, 1))
@@ -571,6 +586,8 @@ class VIOInitializer:
         # [4] gyro bias + repropagate
         q_imu = np.stack([_R_to_quat(R_i2w[i]) for i in range(F)])
         bg = solve_gyro_bias(q_imu, self.preints)
+        if np.linalg.norm(bg) > 0.2:  # implausible gyro bias -> bad SfM
+            return None
         for p in self.preints:
             p.repropagate(bg)
 
@@ -623,6 +640,12 @@ class VIOInitializer:
             if len(pts) >= 2:
                 tracks.append((fid, s, pts))
         return tracks
+
+
+def _iter_obs(tracks):
+    for fid, s, pts in tracks:
+        for k, p in enumerate(pts):
+            yield (fid, s + k), np.asarray(p[:2])
 
 
 def _rot_between(a, b):

@@ -68,6 +68,12 @@ class FeatureTracker:
     def process(self, t_ns: int, img: np.ndarray):
         """Feed one image. Returns None (rate-gated frame) or a dict with
         ids, pts_norm, uv, velocity, rows for published frames."""
+        # stream-discontinuity restart (≙ `feature_tracker_node.cpp:65-76`:
+        # >1 s gap or backwards time -> reset all tracks)
+        if self.prev_t_ns is not None and (
+                t_ns < self.prev_t_ns or t_ns - self.prev_t_ns > 1_000_000_000):
+            self.restart()
+
         pyr = self._jit_pre(jnp.asarray(img))
 
         live = self.ids >= 0
@@ -95,6 +101,17 @@ class FeatureTracker:
             self._refill(pyr)
             return self._emit(t_ns)
         return None
+
+    # ------------------------------------------------------------------
+    def restart(self):
+        """Drop all state (discontinuity recovery)."""
+        self.pts[:] = -1.0
+        self.ids[:] = -1
+        self.track_cnt[:] = 0
+        self.prev_pyr = None
+        self.prev_t_ns = None
+        self._pub_count = 0
+        self._first_t_ns = None
 
     # ------------------------------------------------------------------
     def _refill(self, pyr):

@@ -61,3 +61,41 @@ def test_e2e_fixed_ld_gs_mode():
     err = ate_rmse(est[5:], gt[5:], align="yaw")
     assert err < 0.03, f"ATE {err:.4f} m"
     assert vio.traj.line_delay == 29.4737e-6
+
+
+@pytest.mark.slow
+def test_e2e_visual_bootstrap():
+    """Full self-contained run: no ground-truth hints — the visual-inertial
+    SfM bootstrap initializes the pipeline (bootstrap='visual'), which then
+    tracks and calibrates the line delay."""
+    # gentle handheld-style motion: the GS-model SfM bootstrap (like the
+    # reference's, `vio_initial.cpp`) needs moderate rotation rates or the
+    # rolling-shutter skew poisons it — its quality gates reject windows
+    # until motion is initializable
+    sim = synthetic.generate(synthetic.SimConfig(
+        duration=7.0, n_landmarks=250, seed=17, gyro_bias=0.005,
+        rot_excite=0.05, pos_excite=0.04))
+    cfg = VIOConfig(
+        window_config=WindowConfig(KW=48, NB=11, LM=256, OBS=1536, MIMU=512),
+        fix_ld=False, ld_init=0.0, dtype=np.float64, bootstrap="visual")
+    q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
+    vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))
+
+    est, gt = [], []
+    imu_idx = 0
+    for fr in sim.frames:
+        while imu_idx < len(sim.imu_t_ns) and sim.imu_t_ns[imu_idx] <= fr.t_ns:
+            vio.process_imu(sim.imu_t_ns[imu_idx], sim.gyro[imu_idx],
+                            sim.accel[imu_idx])
+            imu_idx += 1
+        out = vio.process_frame(fr.t_ns, fr.ids, fr.pts, fr.rows)
+        if out is not None:
+            est.append(out[1])
+            _, p_gt = sim.pose_at(fr.t_ns * 1e-9)
+            gt.append(p_gt)
+    assert len(est) >= 20, f"only {len(est)} tracked frames (init too late?)"
+    # the bootstrap's world frame differs by yaw+translation (+small scale
+    # residue) from the sim world: evaluate with 4-DoF alignment, post-transient
+    err = ate_rmse(np.asarray(est)[8:], np.asarray(gt)[8:], align="yaw")
+    assert err < 0.08, f"ATE {err:.4f} m"
+    assert abs(vio.traj.line_delay - sim.cfg.line_delay) < 3e-6
