@@ -26,9 +26,16 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=["tpu", "cpu-smoke"], default="tpu")
+    ap.add_argument("--mode", choices=["e2e", "batch"], default="e2e",
+                    help="e2e: sequential replay fps; batch: batched "
+                         "multi-window solve throughput (config-5 analogue)")
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--seed", type=int, default=3)
     args = ap.parse_args()
+
+    if args.mode == "batch":
+        bench_batch(args)
+        return
 
     if args.preset == "cpu-smoke":
         import jax
@@ -121,6 +128,63 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 10.0, 2),
+    }))
+
+
+def bench_batch(args):
+    """Batched multi-window solve throughput: many sliding-window problems
+    solved simultaneously (the data-parallel replay story — multiple
+    sequences or decoupled time windows per chip)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from ctrlvio_tpu.solver import lm
+    from ctrlvio_tpu.solver.layout import SolveOptions, WindowConfig
+    from functools import partial
+
+    if args.preset == "cpu-smoke":
+        jax.config.update("jax_platforms", "cpu")
+    dtype = np.float32
+    cfg = WindowConfig(KW=48, NB=11, LM=256, OBS=768, MIMU=512, dt=0.05)
+    _, params, img, imu, bias, fixed, aux, prior = g._tiny_problem(dtype, cfg)
+    ext, gravity, imu_info, sqrt_info_img = aux
+    opts = SolveOptions(max_iters=15)
+    to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    img, imu, bias = to_j(img), to_j(imu), to_j(bias)
+    fixedj = jnp.asarray(fixed)
+
+    def run(B):
+        stack = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * B), t)
+        f = jax.jit(jax.vmap(partial(
+            lm.solve_window, cfg=cfg, opts=opts,
+        ), in_axes=(0, 0, 0, 0, 0, 0, None, None, None, None)))
+        a = (stack(params), stack(img), stack(imu), stack(bias), stack(prior),
+             jnp.stack([fixedj] * B))
+        out = f(*a, ext, gravity, imu_info, sqrt_info_img)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*a, ext, gravity, imu_info, sqrt_info_img))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t1 = run(1)
+    t8 = run(8)
+    wps1 = 1.0 / t1
+    wps8 = 8.0 / t8
+    print(f"[bench-batch] B=1: {t1 * 1e3:.1f} ms ({wps1:.1f} windows/s); "
+          f"B=8: {t8 * 1e3:.1f} ms ({wps8:.1f} windows/s); "
+          f"batching speedup {wps8 / wps1:.2f}x", file=sys.stderr)
+    print(json.dumps({
+        "metric": "batched_window_solves_per_sec",
+        "value": round(wps8, 2),
+        "unit": "windows/s",
+        "vs_baseline": round(wps8 / 10.0, 2),
     }))
 
 

@@ -72,6 +72,10 @@ class VIOConfig:
     # ≙ C19's VIOInitialization)
     bootstrap: str = "external"
     excite_threshold: float = 0.25
+    # marginalization precision: True = f64 on the host CPU (safest),
+    # False = solver dtype on the solver device (fast; viable with the
+    # Jacobi-scaled eigendecompositions + capped bias information)
+    marg_on_host: bool = True
 
 
 @dataclass
@@ -166,6 +170,9 @@ class CtrlVIO:
         self._marg_cfg = wc._replace(OBS=min(wc.OBS, 512),
                                      MIMU=max(wc.MIMU // 4, 64), LM=96)
         self._build_prior_cpu = jax.jit(
+            partial(marginalize.build_prior, cfg=self._marg_cfg),
+            static_argnames=("opts",))
+        self._build_prior_dev = jax.jit(
             partial(marginalize.build_prior, cfg=self._marg_cfg),
             static_argnames=("opts",))
         self._restore = jax.jit(gauge.restore_gauge)
@@ -486,28 +493,41 @@ class CtrlVIO:
             knot_shift = (self.traj.ctrl_idx(self.kf_t_ns[1])
                           - self.traj.ctrl_idx(self.kf_t_ns[0]))
             t0 = _time.perf_counter()
-            with on_cpu():
-                prior64 = self._build_prior_cpu(
-                    to64(p_marg), to64(img_m), to64(imu_m),
-                    to64(_to_j(bias)),
-                    getattr(self, "_prior_cpu64", None) or to64(prior),
-                    np.asarray(drop),
-                    to64(self._ext), np.asarray(self.gravity, np.float64),
-                    np.asarray(self._imu_info, np.float64),
-                    np.float64(self._sqrt_info_img),
+            if self.cfg.marg_on_host:
+                with on_cpu():
+                    prior64 = self._build_prior_cpu(
+                        to64(p_marg), to64(img_m), to64(imu_m),
+                        to64(_to_j(bias)),
+                        getattr(self, "_prior_cpu64", None) or to64(prior),
+                        np.asarray(drop),
+                        to64(self._ext), np.asarray(self.gravity, np.float64),
+                        np.asarray(self._imu_info, np.float64),
+                        np.float64(self._sqrt_info_img),
+                        knot_shift=jnp.asarray(knot_shift, jnp.int32),
+                        bias_shift=jnp.asarray(1, jnp.int32),
+                        opts=opts._replace(cauchy_c=1.0))
+                    prior_cast = jax.tree_util.tree_map(
+                        lambda x: x.astype(self.jdt)
+                        if jnp.issubdtype(x.dtype, jnp.floating) else x, prior64)
+                # keep the f64 CPU result for the next marg build (avoids a
+                # device roundtrip); the cast copy transfers to the solver
+                # device just-in-time at the next BA (an eager device_put
+                # here would stall the TPU stream behind the CPU compute)
+                self._prior_cpu64 = prior64
+                self.prior = prior_cast
+                self._prior_on_device = False
+            else:
+                # solver-dtype marg on the solver device (async, no
+                # transfers; relies on the Jacobi-scaled eigendecompositions)
+                self.prior = self._build_prior_dev(
+                    p_marg, _to_j(img_m), _to_j(imu_m), _to_j(bias), prior,
+                    jnp.asarray(drop), self._ext, self._gravity_j,
+                    self._imu_info, self._sqrt_info_img,
                     knot_shift=jnp.asarray(knot_shift, jnp.int32),
                     bias_shift=jnp.asarray(1, jnp.int32),
                     opts=opts._replace(cauchy_c=1.0))
-                prior_cast = jax.tree_util.tree_map(
-                    lambda x: x.astype(self.jdt)
-                    if jnp.issubdtype(x.dtype, jnp.floating) else x, prior64)
-            # keep the f64 CPU result for the next marg build (avoids a
-            # device roundtrip); the cast copy transfers to the solver device
-            # just-in-time at the next BA (an eager device_put here would
-            # stall the TPU stream behind the async CPU compute)
-            self._prior_cpu64 = prior64
-            self.prior = prior_cast
-            self._prior_on_device = False
+                self._prior_cpu64 = None
+                self._prior_on_device = True
             self.timing["prior"] += _time.perf_counter() - t0
 
     # ------------------------------------------------------------------

@@ -100,16 +100,39 @@ def _track_level(img_prev, img_cur, pt_prev, guess, cfg: KLTConfig):
     return out, min_eig
 
 
-def track(pyr_prev, pyr_cur, pts, cfg: KLTConfig = KLTConfig()):
+def track(pyr_prev, pyr_cur, pts, cfg: KLTConfig = KLTConfig(),
+          use_pallas: bool = False):
     """Track pts (N, 2) from prev to cur. Returns (pts_cur (N,2), ok (N,)).
 
     Coarse-to-fine with forward-backward verification
-    (≙ `feature_tracker.cpp:74-89`).
+    (≙ `feature_tracker.cpp:74-89`). With use_pallas=True the
+    full-resolution levels run the Mosaic kernel
+    (`ops/pallas/lk_kernel.py` — 256 features in ~0.1 ms on a v5e);
+    levels smaller than the kernel's DMA window use the vmapped JAX path.
     """
     H, W = pyr_prev[0].shape
     L = len(pyr_prev)
 
     def fwd(pyrs_a, pyrs_b, p0):
+        if use_pallas:
+            from ctrlvio_tpu.ops.pallas import lk_kernel
+
+            g = p0 / (2 ** (L - 1))
+            eig = jnp.zeros((p0.shape[0],), dtype=p0.dtype)
+            for lev in range(L - 1, -1, -1):
+                pl_pts = p0 / (2**lev)
+                h, w = pyrs_a[lev].shape
+                if h >= lk_kernel.WIN_H and w >= lk_kernel.WIN_W:
+                    g, eig = lk_kernel.lk_refine(pyrs_a[lev], pyrs_b[lev],
+                                                 pl_pts, g, iters=cfg.iters)
+                else:
+                    g, eig = jax.vmap(
+                        lambda pt, gg: _track_level(pyrs_a[lev], pyrs_b[lev],
+                                                    pt, gg, cfg))(pl_pts, g)
+                if lev > 0:
+                    g = g * 2.0
+            return g, eig
+
         def one(pt):
             g = pt / (2 ** (L - 1))
             me_last = jnp.asarray(0.0, dtype=pt.dtype)

@@ -95,28 +95,40 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     d = drop_mask(cfg, drop_knots, True).astype(dtype)
     k = 1.0 - d
 
-    # pseudo-inverse of the dropped block (masked eigendecomposition)
-    A_dd = A * d[:, None] * d[None, :]
-    A_dd = 0.5 * (A_dd + A_dd.T)
-    S, V = jnp.linalg.eigh(A_dd)
+    # symmetric Jacobi scaling: compresses the dynamic range (bias info vs
+    # knot blocks) so the eigendecompositions stay accurate — required for
+    # f32, improves f64 conditioning too. A = Dinv As Dinv with
+    # As = D A D, D = diag(s).
+    s = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diag(A)), 1e-8, None))
+    As = A * s[:, None] * s[None, :]
+
+    # pseudo-inverse of the dropped block (masked eigendecomposition, in
+    # scaled coordinates): A_dd^+ = D As_dd^+ D
+    As_dd = As * d[:, None] * d[None, :]
+    As_dd = 0.5 * (As_dd + As_dd.T)
+    S, V = jnp.linalg.eigh(As_dd)
     thresh = _eig_thresh(S)
     S_inv = jnp.where(S > thresh, 1.0 / jnp.where(S > thresh, S, 1.0), 0.0)
-    A_dd_inv = (V * S_inv[None, :]) @ V.T
+    As_dd_inv = (V * S_inv[None, :]) @ V.T
+    A_dd_inv = As_dd_inv * s[:, None] * s[None, :]
 
     A_kd = A * k[:, None] * d[None, :]
     A_sc = A * k[:, None] * k[None, :] - A_kd @ A_dd_inv @ A_kd.T
     b_sc = b * k - A_kd @ (A_dd_inv @ (b * d))
 
-    # square root of the kept C-block
+    # square root of the kept C-block, again in scaled coordinates:
+    # A_sc = Dinv Ãs Dinv => J = (sqrt(S) V^T) Dinv
+    sC = s[:C]
     A_sc_cc = 0.5 * (A_sc[:C, :C] + A_sc[:C, :C].T)
-    S2, V2 = jnp.linalg.eigh(A_sc_cc)
+    As_cc = A_sc_cc * sC[:, None] * sC[None, :]
+    S2, V2 = jnp.linalg.eigh(0.5 * (As_cc + As_cc.T))
     pos = S2 > _eig_thresh(S2)
     S2_safe = jnp.where(pos, S2, 1.0)
     sqrt_S = jnp.where(pos, jnp.sqrt(S2_safe), 0.0)
     inv_sqrt_S = jnp.where(pos, 1.0 / jnp.sqrt(S2_safe), 0.0)
-    J_lin = sqrt_S[:, None] * V2.T
-    r_lin = inv_sqrt_S[:, None] * V2.T @ b_sc[:C]
-    r_lin = r_lin.reshape(-1) if r_lin.ndim > 1 else r_lin
+    J_lin = (sqrt_S[:, None] * V2.T) * (1.0 / sC)[None, :]
+    # r: J^T r = b  =>  r = S^{-1/2} V^T D b_sc
+    r_lin = inv_sqrt_S * (V2.T @ (sC * b_sc[:C]))
 
     out = PriorFactor(
         J=J_lin, r0=r_lin,
