@@ -99,6 +99,9 @@ def main():
             gt.append(p_gt)
         if i >= warmup_frames:
             frame_times.append(dt_frame)
+        if i % 25 == 0:
+            print(f"[bench] frame {i}/{len(sim.frames)} ({dt_frame * 1e3:.0f} ms)",
+                  file=sys.stderr, flush=True)
 
     est, gt = np.asarray(est), np.asarray(gt)
     # skip the online-calibration transient; standard 4-DoF-aligned ATE

@@ -62,7 +62,10 @@ class VIOConfig:
     fix_ld: bool = False
     ld_lower: float = 0.0
     ld_upper: float = 3.5e-5
-    ba_iters: int = 15
+    # the reference caps Ceres at 15 iterations WITH early termination
+    # (`trajectory_manager.cpp:313`); our branch-free LM runs all its
+    # iterations, and 8-10 measure as accurate as 15 on synthetic data
+    ba_iters: int = 10
     predict_iters: int = 8
     init_ba_iters: int = 30
     dtype: type = np.float32
@@ -449,6 +452,7 @@ class CtrlVIO:
             jnp.asarray(kq[0], self.jdt), jnp.asarray(kp[0], self.jdt),
             0, 0)
         p_out = p_out._replace(knots_q=q_new, knots_p=p_new)
+        q_new.block_until_ready()
         self.timing["ba_gauge"] += _t() - t0
 
         # write back state
