@@ -97,6 +97,8 @@ def main():
             est.append(p)
             _, p_gt = sim.pose_at(fr.t_ns * 1e-9)
             gt.append(p_gt)
+        if i == warmup_frames:
+            vio.timing.clear()  # drop compile-time spikes from phase stats
         if i >= warmup_frames:
             frame_times.append(dt_frame)
         if i % 25 == 0:
@@ -117,8 +119,8 @@ def main():
               file=sys.stderr)
         sys.exit(1)
 
-    n_timed = len(sim.frames)
-    phases = {k: round(v / max(n_timed, 1) * 1e3, 1) for k, v in vio.timing.items()}
+    n_timed = max(len(frame_times), 1)
+    phases = {k: round(v / n_timed * 1e3, 1) for k, v in vio.timing.items()}
     print(f"[bench] per-frame phase ms: {phases}", file=sys.stderr)
 
     per_frame = float(np.median(frame_times))

@@ -342,13 +342,24 @@ class CtrlVIO:
 
     # ------------------------------------------------------------------
     def _extend_and_predict(self, t_ns: int, from_start: bool = False):
-        """≙ ExtendTrajectory + InitTrajectory (IMU-only predict of new knots)."""
+        """≙ ExtendTrajectory + InitTrajectory (predict of new knots).
+
+        The per-frame extension (1-2 knots) is initialized by host-side IMU
+        dead-reckoning from the spline's end state — equivalent quality to
+        the reference's IMU-only LM (`InitTrajectory`) at ~zero cost, since
+        the full BA refines these knots immediately anyway. The LM predict
+        path still runs for the bootstrap (from_start) where the whole
+        window must be fit."""
         wc = self.wc
         max_bef_ns = self.traj.max_time_ns
         max_bef_idx = self.traj.n - 1
         self.traj.extend_to(t_ns + int(0.04 * S_TO_NS))
         max_aft_ns = self.traj.max_time_ns
         if max_aft_ns <= max_bef_ns and not from_start:
+            return
+
+        if not from_start:
+            self._deadreckon_extension(max_bef_ns, max_bef_idx)
             return
 
         pc = self._predict_cfg
@@ -380,6 +391,34 @@ class CtrlVIO:
             opts=self._predict_opts)
         self.traj.write_back(self.win_knot0, np.asarray(p_out.knots_q),
                              np.asarray(p_out.knots_p), n_active)
+
+    # ------------------------------------------------------------------
+    def _deadreckon_extension(self, max_bef_ns: int, max_bef_idx: int):
+        """Fill newly appended knots by integrating IMU from the spline's
+        end state (numpy; replaces a device LM round trip per frame)."""
+        from ctrlvio_tpu.ops import so3np
+
+        from .initializer import InitialState, dead_reckon_poses
+
+        dt_ns = int(self.traj.dt_ns)
+        # spline end state at the last well-constrained time
+        t0 = max(max_bef_ns - dt_ns, 0)
+        q0, p0 = self.traj.pose(t0)
+        i0 = min(self.traj.ctrl_idx(t0), self.traj.n - 4)
+        u = (t0 - i0 * dt_ns) / dt_ns
+        v0 = so3np.rd_eval(self.traj.knots_p[i0 : i0 + 4], np.float64(u),
+                           1.0 / self.traj.dt, 1)
+        st = InitialState(t_ns=0, q=q0[0], p=p0[0], bg=self.bg[-1],
+                          ba=self.ba[-1], gravity=self.gravity, v=v0)
+        # new knots carry poses at (i-1)*dt (cubic B-spline offset)
+        new_idx = np.arange(max_bef_idx + 1, self.traj.n, dtype=np.int64)
+        knot_ts = (new_idx - 1) * dt_ns - t0
+        sel = self.imu_t_ns >= t0
+        kq, kp = dead_reckon_poses(
+            knot_ts, self.imu_t_ns[sel] - t0, self.imu_gyro[sel],
+            self.imu_accel[sel], st)
+        self.traj.knots_q[new_idx] = kq
+        self.traj.knots_p[new_idx] = kp
 
     # ------------------------------------------------------------------
     def _triangulate(self):

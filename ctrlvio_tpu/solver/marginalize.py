@@ -23,6 +23,7 @@ identity, so a subsequent window slide is just a column roll
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,33 +103,34 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     s = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diag(A)), 1e-8, None))
     As = A * s[:, None] * s[None, :]
 
-    # pseudo-inverse of the dropped block (masked eigendecomposition, in
-    # scaled coordinates): A_dd^+ = D As_dd^+ D
+    # regularized inverse of the dropped block (in scaled coordinates):
+    # A_dd^+ ~ D (As_dd + eps I)^-1 D via Cholesky — the reference uses an
+    # eigendecomposition with eigenvalue truncation
+    # (`marginalization_factor.cpp:240-252`); with unit-scaled coordinates a
+    # small diagonal jitter is the equivalent regularization at a third of
+    # the cost, and Cholesky maps far better onto both CPU and TPU.
+    eps = jnp.asarray(1e-7 if dtype == jnp.float32 else 1e-10, dtype)
     As_dd = As * d[:, None] * d[None, :]
-    As_dd = 0.5 * (As_dd + As_dd.T)
-    S, V = jnp.linalg.eigh(As_dd)
-    thresh = _eig_thresh(S)
-    S_inv = jnp.where(S > thresh, 1.0 / jnp.where(S > thresh, S, 1.0), 0.0)
-    As_dd_inv = (V * S_inv[None, :]) @ V.T
+    As_dd = 0.5 * (As_dd + As_dd.T) + jnp.diag(eps * d + (1.0 - d))
+    Ld = jnp.linalg.cholesky(As_dd)
+    eye = jnp.eye(As_dd.shape[0], dtype=dtype)
+    Ld_inv = jax.scipy.linalg.solve_triangular(Ld, eye, lower=True)
+    As_dd_inv = (Ld_inv.T @ Ld_inv) * d[:, None] * d[None, :]
     A_dd_inv = As_dd_inv * s[:, None] * s[None, :]
 
     A_kd = A * k[:, None] * d[None, :]
     A_sc = A * k[:, None] * k[None, :] - A_kd @ A_dd_inv @ A_kd.T
     b_sc = b * k - A_kd @ (A_dd_inv @ (b * d))
 
-    # square root of the kept C-block, again in scaled coordinates:
-    # A_sc = Dinv Ãs Dinv => J = (sqrt(S) V^T) Dinv
+    # square root of the kept C-block via Cholesky in scaled coordinates:
+    # As_cc + eps I = L L^T  =>  J = L^T Dinv,  L r = D b_sc
     sC = s[:C]
     A_sc_cc = 0.5 * (A_sc[:C, :C] + A_sc[:C, :C].T)
     As_cc = A_sc_cc * sC[:, None] * sC[None, :]
-    S2, V2 = jnp.linalg.eigh(0.5 * (As_cc + As_cc.T))
-    pos = S2 > _eig_thresh(S2)
-    S2_safe = jnp.where(pos, S2, 1.0)
-    sqrt_S = jnp.where(pos, jnp.sqrt(S2_safe), 0.0)
-    inv_sqrt_S = jnp.where(pos, 1.0 / jnp.sqrt(S2_safe), 0.0)
-    J_lin = (sqrt_S[:, None] * V2.T) * (1.0 / sC)[None, :]
-    # r: J^T r = b  =>  r = S^{-1/2} V^T D b_sc
-    r_lin = inv_sqrt_S * (V2.T @ (sC * b_sc[:C]))
+    As_cc = 0.5 * (As_cc + As_cc.T) + eps * jnp.eye(C, dtype=dtype)
+    L2 = jnp.linalg.cholesky(As_cc)
+    J_lin = L2.T * (1.0 / sC)[None, :]
+    r_lin = jax.scipy.linalg.solve_triangular(L2, sC * b_sc[:C], lower=True)
 
     out = PriorFactor(
         J=J_lin, r0=r_lin,
