@@ -10,7 +10,7 @@ from ctrlvio_tpu.solver.layout import WindowConfig
 
 sim = synthetic.generate(synthetic.SimConfig(duration=10.0, n_landmarks=300, seed=3))
 cfg = VIOConfig(window_config=WindowConfig(KW=48, NB=11, LM=256, OBS=768, MIMU=512),
-                fix_ld=False, ld_init=0.0, dtype=np.float32, marg_on_host=False)
+                fix_ld=False, ld_init=0.0, dtype=np.float32)
 q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
 vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))
 init = bootstrap_from_sim(sim)

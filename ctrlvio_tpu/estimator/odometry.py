@@ -152,6 +152,30 @@ class CtrlVIO:
             self._solve_device = None
         self._solve = jax.jit(
             partial(lm.solve_window, cfg=wc), static_argnames=("opts",))
+
+        def _ba_fused(params, img_f, imu_f, bias_f, prior_f, fixed_f, q_ref,
+                      p_ref, ext, gravity, imu_info, sqrt_info_img, opts):
+            """Solve + 4-DoF gauge restore + one packed host-bound vector.
+
+            Device->host pulls cost ~5-10 ms EACH over the remote tunnel;
+            packing everything the host needs into one array turns ~20
+            pulls per frame into one."""
+            p_out, stats = lm.solve_window(
+                params, img_f, imu_f, bias_f, prior_f, fixed_f, ext, gravity,
+                imu_info, sqrt_info_img, wc, opts)
+            q_new, p_new = gauge.restore_gauge(
+                p_out.knots_q, p_out.knots_p, q_ref, p_ref, 0, 0)
+            p_out = p_out._replace(knots_q=q_new, knots_p=p_new)
+            packed = jnp.concatenate([
+                q_new.reshape(-1), p_new.reshape(-1),
+                p_out.bg.reshape(-1), p_out.ba.reshape(-1), p_out.dinv,
+                p_out.ld[None].astype(q_new.dtype),
+                jnp.stack([stats.cost0, stats.cost,
+                           stats.accepted.astype(q_new.dtype)]),
+            ])
+            return packed, p_out
+
+        self._ba_fused = jax.jit(_ba_fused, static_argnames=("opts",))
         # the IMU-only predict touches no image factors/landmarks: use a
         # minimal static config so its jit variant skips the image machinery
         self._predict_cfg = wc._replace(OBS=8, LM=8)
@@ -178,6 +202,13 @@ class CtrlVIO:
         self._build_prior_dev = jax.jit(
             partial(marginalize.build_prior, cfg=self._marg_cfg),
             static_argnames=("opts",))
+        # hybrid prior build: factor linearization on the solver device
+        # (solver dtype), Schur + square root in f64 on the host CPU
+        self._marg_lin = jax.jit(
+            partial(marginalize.marg_linearize, cfg=self._marg_cfg),
+            static_argnames=("opts",))
+        self._marg_schur = jax.jit(
+            partial(marginalize.marg_schur, cfg=self._marg_cfg))
         self._restore = jax.jit(gauge.restore_gauge)
 
     # ------------------------------------------------------------------
@@ -359,7 +390,11 @@ class CtrlVIO:
             return
 
         if not from_start:
-            self._deadreckon_extension(max_bef_ns, max_bef_idx)
+            import time as _t2
+
+            _x = _t2.perf_counter()
+            self._deadreckon_extension(max_bef_ns, max_bef_idx, max_aft_ns)
+            self.timing["predict_dr"] += _t2.perf_counter() - _x
             return
 
         pc = self._predict_cfg
@@ -393,7 +428,8 @@ class CtrlVIO:
                              np.asarray(p_out.knots_p), n_active)
 
     # ------------------------------------------------------------------
-    def _deadreckon_extension(self, max_bef_ns: int, max_bef_idx: int):
+    def _deadreckon_extension(self, max_bef_ns: int, max_bef_idx: int,
+                              max_aft_ns: int):
         """Fill newly appended knots by integrating IMU from the spline's
         end state (numpy; replaces a device LM round trip per frame)."""
         from ctrlvio_tpu.ops import so3np
@@ -413,7 +449,9 @@ class CtrlVIO:
         # new knots carry poses at (i-1)*dt (cubic B-spline offset)
         new_idx = np.arange(max_bef_idx + 1, self.traj.n, dtype=np.int64)
         knot_ts = (new_idx - 1) * dt_ns - t0
-        sel = self.imu_t_ns >= t0
+        # bound by the needed horizon: drivers may pre-feed IMU far beyond
+        # the current frame (integrating it would be pure waste)
+        sel = (self.imu_t_ns >= t0) & (self.imu_t_ns <= max_aft_ns)
         kq, kp = dead_reckon_poses(
             knot_ts, self.imu_t_ns[sel] - t0, self.imu_gyro[sel],
             self.imu_accel[sel], st)
@@ -476,35 +514,39 @@ class CtrlVIO:
 
         opts = self._init_opts if init else self._ba_opts
         t0 = _t()
-        p_out, stats = self._solve(
+        # [6+7] fused solve + gauge restore; single packed device->host pull
+        packed, p_out = self._ba_fused(
             params, _to_j(img), _to_j(imu), _to_j(bias), prior,
-            jnp.asarray(fixed), self._ext, self._gravity_j, self._imu_info,
-            self._sqrt_info_img, opts=opts)
-        stats = jax.tree_util.tree_map(lambda x: x.block_until_ready(), stats)
-        self.timing["ba_solve"] += _time.perf_counter() - t0
-        self.last_solve_stats = stats
+            jnp.asarray(fixed), jnp.asarray(kq[0], self.jdt),
+            jnp.asarray(kp[0], self.jdt), self._ext, self._gravity_j,
+            self._imu_info, self._sqrt_info_img, opts=opts)
+        host = np.asarray(packed, dtype=np.float64)
+        self.timing["ba_solve"] += _t() - t0
 
-        # [7] 4-DoF gauge restore about the window's first control point
-        t0 = _t()
-        q_new, p_new = self._restore(
-            p_out.knots_q, p_out.knots_p,
-            jnp.asarray(kq[0], self.jdt), jnp.asarray(kp[0], self.jdt),
-            0, 0)
-        p_out = p_out._replace(knots_q=q_new, knots_p=p_new)
-        q_new.block_until_ready()
-        self.timing["ba_gauge"] += _t() - t0
+        # unpack
+        wcK, wcB, wcL = wc.KW, wc.NB, wc.LM
+        o = 0
+        kq_np = host[o : o + 4 * wcK].reshape(wcK, 4); o += 4 * wcK
+        kp_np = host[o : o + 3 * wcK].reshape(wcK, 3); o += 3 * wcK
+        bg_np = host[o : o + 3 * wcB].reshape(wcB, 3); o += 3 * wcB
+        ba_np = host[o : o + 3 * wcB].reshape(wcB, 3); o += 3 * wcB
+        dinv_np = host[o : o + wcL]; o += wcL
+        ld_np = host[o]; o += 1
+        from types import SimpleNamespace
+
+        self.last_solve_stats = SimpleNamespace(
+            cost0=host[o], cost=host[o + 1], accepted=host[o + 2])
 
         # write back state
         t0 = _t()
-        self.traj.write_back(self.win_knot0, np.asarray(p_out.knots_q),
-                             np.asarray(p_out.knots_p), n_active)
-        self.traj.line_delay = float(p_out.ld)
-        self.bg = np.array(p_out.bg, dtype=np.float64)  # writable copies
-        self.ba = np.array(p_out.ba, dtype=np.float64)
+        self.traj.write_back(self.win_knot0, kq_np, kp_np, n_active)
+        self.traj.line_delay = float(ld_np)
+        self.bg = bg_np.copy()
+        self.ba = ba_np.copy()
         if self.use_native:
-            self.features.set_depths(np.array(p_out.dinv, np.float32))
+            self.features.set_depths(dinv_np.astype(np.float32))
         else:
-            self.features.set_depths(np.asarray(p_out.dinv, np.float64), cands)
+            self.features.set_depths(dinv_np, cands)
         self.timing["ba_writeback"] += _t() - t0
 
         # [8] marginalization prior (at the gauge-restored state).
@@ -526,10 +568,13 @@ class CtrlVIO:
                                      self._marg_cfg.OBS)
             imu_m = _compact_factors(imu, imu.valid & imu.marg_drop,
                                      self._marg_cfg.MIMU)
-            # remap marginalized landmarks into dense slots
-            img_m, dinv_m = _compact_landmarks(
-                img_m, np.array(p_out.dinv, np.float64), self._marg_cfg.LM)
-            p_marg = p_out._replace(dinv=jnp.asarray(dinv_m, self.jdt))
+            # remap marginalized landmarks into dense slots; build the marg
+            # linearization point from the already-pulled host state (no
+            # further device->host round trips)
+            img_m, dinv_m = _compact_landmarks(img_m, dinv_np, self._marg_cfg.LM)
+            p_marg = WindowParams(
+                knots_q=kq_np, knots_p=kp_np, bg=bg_np, ba=ba_np,
+                dinv=dinv_m, ld=np.float64(ld_np))
             # the prior comes out pre-rolled into the post-slide layout so
             # nothing downstream has to block on it (fully async: CPU f64
             # compute -> cast -> transfer to TPU, consumed next frame)
@@ -537,10 +582,14 @@ class CtrlVIO:
                           - self.traj.ctrl_idx(self.kf_t_ns[0]))
             t0 = _time.perf_counter()
             if self.cfg.marg_on_host:
+                # full f64 build on the host CPU (async): the marg Schur
+                # cancellation amplifies input error, so f32 factor
+                # Jacobians are NOT enough (measured: f32 linearize + f64
+                # Schur drifts 1 m where full f64 stays at millimetres)
                 with on_cpu():
                     prior64 = self._build_prior_cpu(
-                        to64(p_marg), to64(img_m), to64(imu_m),
-                        to64(_to_j(bias)),
+                        p_marg, to64(img_m), to64(imu_m),
+                        to64(bias),
                         getattr(self, "_prior_cpu64", None) or to64(prior),
                         np.asarray(drop),
                         to64(self._ext), np.asarray(self.gravity, np.float64),
@@ -552,18 +601,20 @@ class CtrlVIO:
                     prior_cast = jax.tree_util.tree_map(
                         lambda x: x.astype(self.jdt)
                         if jnp.issubdtype(x.dtype, jnp.floating) else x, prior64)
-                # keep the f64 CPU result for the next marg build (avoids a
-                # device roundtrip); the cast copy transfers to the solver
-                # device just-in-time at the next BA (an eager device_put
-                # here would stall the TPU stream behind the CPU compute)
+                # the cast copy transfers to the solver device just-in-time
+                # at the next BA (an eager device_put here would stall the
+                # TPU stream behind the CPU compute); the f64 original seeds
+                # the next marg build (keeps the prior recursion in f64)
                 self._prior_cpu64 = prior64
                 self.prior = prior_cast
                 self._prior_on_device = False
             else:
                 # solver-dtype marg on the solver device (async, no
                 # transfers; relies on the Jacobi-scaled eigendecompositions)
+                p_marg_dev = jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(np.asarray(x), self.jdt), p_marg)
                 self.prior = self._build_prior_dev(
-                    p_marg, _to_j(img_m), _to_j(imu_m), _to_j(bias), prior,
+                    p_marg_dev, _to_j(img_m), _to_j(imu_m), _to_j(bias), prior,
                     jnp.asarray(drop), self._ext, self._gravity_j,
                     self._imu_info, self._sqrt_info_img,
                     knot_shift=jnp.asarray(knot_shift, jnp.int32),

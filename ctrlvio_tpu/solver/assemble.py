@@ -175,59 +175,73 @@ def linearize(params: WindowParams, img: ImageFactors, imu: ImuFactors,
         pass
     cost = cost + 0.5 * jnp.sum(r_prior * r_prior)
 
-    # ---- scatter into dense rows --------------------------------------
-    J = jnp.zeros((R, C), dtype=dtype)
+    # ---- scatter-free dense-row assembly ------------------------------
+    # Block Jacobians expand into dense rows via one-hot einsums (the
+    # positional scatter became the single hottest op: XLA lowers scatters
+    # serially on CPU and poorly on TPU; the einsum form is a handful of
+    # tiny MXU contractions instead).
+    kw_iota = jnp.arange(KW, dtype=jnp.int32)
 
-    # image rows: factor f, comp c -> row 2f+c
-    rows_img = (2 * jnp.arange(cfg.OBS, dtype=jnp.int32)[:, None]
-                + jnp.arange(2, dtype=jnp.int32)[None, :])  # (OBS, 2)
-    wJ = lambda Jb: Jb * w_img[:, None, None, None]
-    cols_ri = _knot_cols(s_i, 0)          # (OBS, 4, 3)
-    cols_pi = _knot_cols(s_i, 3 * KW)
-    cols_rj = _knot_cols(s_j, 0)
-    cols_pj = _knot_cols(s_j, 3 * KW)
-    rr = rows_img[:, :, None, None]        # (OBS, 2, 1, 1)
-    for Jb, cols in ((wJ(J_ri), cols_ri), (wJ(J_pi), cols_pi),
-                     (wJ(J_rj), cols_rj), (wJ(J_pj), cols_pj)):
-        J = J.at[rr, cols[:, None, :, :]].add(Jb)
-    J = J.at[rows_img, cfg.col_ld].add(J_ld * w_img[:, None])
+    def knot_onehot(s):
+        # (N, 4, KW): one-hot of knot indices s..s+3
+        return (kw_iota[None, None, :]
+                == (s[:, None, None] + jnp.arange(4, dtype=jnp.int32)[None, :, None])
+                ).astype(dtype)
 
-    # imu rows
-    base = R_img
-    rows_imu = (base + 6 * jnp.arange(cfg.MIMU, dtype=jnp.int32)[:, None]
-                + jnp.arange(6, dtype=jnp.int32)[None, :])  # (M, 6)
-    wm = m_imu[:, None, None, None]
-    cols_mr = _knot_cols(s_m, 0)
-    cols_mp = _knot_cols(s_m, 3 * KW)
-    rrm = rows_imu[:, :, None, None]
-    J = J.at[rrm, cols_mr[:, None, :, :]].add(J_mr * wm)
-    J = J.at[rrm, cols_mp[:, None, :, :]].add(J_mp * wm)
-    cols_bg = (6 * KW + 3 * imu.bias_idx)[:, None] + jnp.arange(3, dtype=jnp.int32)
-    cols_ba = cols_bg + 3 * NB
-    J = J.at[rows_imu[:, :, None], cols_bg[:, None, :]].add(J_mbg * m_imu[:, None, None])
-    J = J.at[rows_imu[:, :, None], cols_ba[:, None, :]].add(J_mba * m_imu[:, None, None])
+    def expand_knots(Jr, Jp, oh):
+        # Jr/Jp: (N, rdim, 4, 3); oh: (N, 4, KW) -> (N, rdim, 6*KW)
+        rot = jnp.einsum("nrkd,nkw->nrwd", Jr, oh).reshape(Jr.shape[0], -1, 3 * KW)
+        pos = jnp.einsum("nrkd,nkw->nrwd", Jp, oh).reshape(Jp.shape[0], -1, 3 * KW)
+        return rot, pos
 
-    # bias rows: pair b rows -> d r / d bg_b = -si, d bg_{b+1} = +si (block diag)
-    base = R_img + R_imu
-    rows_b = (base + 6 * jnp.arange(NB - 1, dtype=jnp.int32)[:, None]
-              + jnp.arange(6, dtype=jnp.int32)[None, :])  # (NB-1, 6)
+    nb_iota = jnp.arange(NB, dtype=jnp.int32)
+
+    # image rows (OBS, 2, C)
+    oh_i = knot_onehot(s_i)
+    oh_j = knot_onehot(s_j)
+    rot_i, pos_i = expand_knots(J_ri, J_pi, oh_i)
+    rot_j, pos_j = expand_knots(J_rj, J_pj, oh_j)
+    w2 = w_img[:, None, None]
+    J_img_rows = jnp.concatenate(
+        [(rot_i + rot_j) * w2, (pos_i + pos_j) * w2,
+         jnp.zeros((cfg.OBS, 2, 6 * NB), dtype=dtype),
+         (J_ld * w_img[:, None])[..., None]], axis=2)
+
+    # imu rows (M, 6, C)
+    oh_m = knot_onehot(s_m)
+    rot_m, pos_m = expand_knots(J_mr, J_mp, oh_m)
+    oh_bias = (nb_iota[None, :] == imu.bias_idx[:, None]).astype(dtype)  # (M, NB)
+    bg_m = jnp.einsum("nrd,nb->nrbd", J_mbg, oh_bias).reshape(cfg.MIMU, 6, 3 * NB)
+    ba_m = jnp.einsum("nrd,nb->nrbd", J_mba, oh_bias).reshape(cfg.MIMU, 6, 3 * NB)
+    wm2 = m_imu[:, None, None]
+    J_imu_rows = jnp.concatenate(
+        [rot_m, pos_m, bg_m, ba_m,
+         jnp.zeros((cfg.MIMU, 6, 1), dtype=dtype)], axis=2) * wm2
+
+    # bias-pair rows (NB-1, 6, C)
     si = bias.sqrt_info * m_bias[:, None]  # (NB-1, 6)
-    bidx = jnp.arange(NB - 1, dtype=jnp.int32)
-    cols_bg_i = (6 * KW + 3 * bidx)[:, None] + jnp.arange(3, dtype=jnp.int32)
-    cols_ba_i = cols_bg_i + 3 * NB
-    # gyro rows 0..2, accel rows 3..5
-    J = J.at[rows_b[:, :3, None], cols_bg_i[:, None, :] + 0].add(
-        -jnp.eye(3, dtype=dtype)[None] * si[:, :3, None])
-    J = J.at[rows_b[:, :3, None], cols_bg_i[:, None, :] + 3].add(
-        jnp.eye(3, dtype=dtype)[None] * si[:, :3, None])
-    J = J.at[rows_b[:, 3:, None], cols_ba_i[:, None, :] + 0].add(
-        -jnp.eye(3, dtype=dtype)[None] * si[:, 3:, None])
-    J = J.at[rows_b[:, 3:, None], cols_ba_i[:, None, :] + 3].add(
-        jnp.eye(3, dtype=dtype)[None] * si[:, 3:, None])
+    pair = jnp.arange(NB - 1, dtype=jnp.int32)
+    oh_bi = (nb_iota[None, :] == pair[:, None]).astype(dtype)        # (NB-1, NB)
+    oh_bj = (nb_iota[None, :] == pair[:, None] + 1).astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    # gyro rows 0..2 touch bg_i (-) and bg_j (+); accel rows 3..5 touch ba
+    bg_rows = (jnp.einsum("pd,pb->pdb", si[:, :3], oh_bj - oh_bi)[:, :, :, None]
+               * eye3[None, :, None, :]).reshape(NB - 1, 3, 3 * NB)
+    ba_rows = (jnp.einsum("pd,pb->pdb", si[:, 3:], oh_bj - oh_bi)[:, :, :, None]
+               * eye3[None, :, None, :]).reshape(NB - 1, 3, 3 * NB)
+    zKW = jnp.zeros((NB - 1, 3, 6 * KW), dtype=dtype)
+    z3NB = jnp.zeros((NB - 1, 3, 3 * NB), dtype=dtype)
+    z1 = jnp.zeros((NB - 1, 3, 1), dtype=dtype)
+    gyro_rows = jnp.concatenate([zKW, bg_rows, z3NB, z1], axis=2)
+    accel_rows = jnp.concatenate([zKW, z3NB, ba_rows, z1], axis=2)
+    J_bias_rows = jnp.concatenate([gyro_rows, accel_rows], axis=1)  # (NB-1,6,C)
 
-    # prior rows
-    base = R_img + R_imu + R_bias
-    J = J.at[base : base + C, :].set(prior.J)
+    J = jnp.concatenate([
+        J_img_rows.reshape(R_img, C),
+        J_imu_rows.reshape(R_imu, C),
+        J_bias_rows.reshape(R_bias, C),
+        prior.J,
+    ], axis=0)
 
     r = jnp.concatenate([r_img, r_imu, r_bias, r_prior])
     return Linearization(J=J, r=r, J_lm=J_lm, lm_idx=img.lm_idx,

@@ -225,3 +225,82 @@ def roll_prior(prior: PriorFactor, knot_shift: int, bias_shift: int,
     return PriorFactor(J=jnp.asarray(J), r0=prior.r0, knots_q0=jnp.asarray(kq0),
                        knots_p0=jnp.asarray(kp0), bg0=jnp.asarray(bg0),
                        ba0=jnp.asarray(ba0), ld0=prior.ld0)
+
+
+# ---------------------------------------------------------------------------
+# hybrid build: device linearize (f32) + host Schur/sqrt (f64)
+# ---------------------------------------------------------------------------
+
+
+def marg_linearize(params, img, imu, bias, old_prior, ext, gravity, imu_info,
+                   sqrt_info_img, cfg: WindowConfig, opts: SolveOptions):
+    """Device-side half of the prior build: evaluate the marg factor subset
+    and return its dense Jacobian rows (solver dtype). The precision-critical
+    Schur cancellation and square root stay in f64 on the host
+    (`marg_schur`); the factor Jacobians themselves are f32-safe. This keeps
+    the ~200 ms serial-scatter CPU linearize off the host."""
+    lin = assemble.linearize(params, img, imu, bias, old_prior, ext, gravity,
+                             imu_info, sqrt_info_img, cfg, opts,
+                             marg_mode=True)
+    r_img = lin.r[: 2 * cfg.OBS].reshape(cfg.OBS, 2)
+    return lin.J, lin.r, lin.J_lm, r_img
+
+
+def marg_schur(J, r, J_lm, r_img, lm_idx, drop_knots, params_x0,
+               cfg: WindowConfig, knot_shift=None, bias_shift=None
+               ) -> PriorFactor:
+    """Host-side half (run under f64): normal equations from the dense rows,
+    extended landmark system, Schur elimination, Cholesky square root, and
+    the in-graph post-slide roll."""
+    dtype = J.dtype
+    C, LM = cfg.C, cfg.LM
+
+    H_cc = J.T @ J
+    g_c = J.T @ r
+    h_ll = jnp.zeros((LM,), dtype=dtype).at[lm_idx].add(jnp.sum(J_lm * J_lm, -1))
+    g_l = jnp.zeros((LM,), dtype=dtype).at[lm_idx].add(jnp.sum(J_lm * r_img, -1))
+    J_rows = J[: 2 * cfg.OBS].reshape(cfg.OBS, 2, C)
+    W = jnp.einsum("oc,ock->ok", J_lm, J_rows)
+    H_cl = jnp.zeros((LM, C), dtype=dtype).at[lm_idx].add(W)
+
+    A = jnp.zeros((C + LM, C + LM), dtype=dtype)
+    A = A.at[:C, :C].set(H_cc)
+    A = A.at[:C, C:].set(H_cl.T)
+    A = A.at[C:, :C].set(H_cl)
+    A = A.at[C:, C:].set(jnp.diag(h_ll))
+    b = jnp.concatenate([g_c, g_l])
+
+    d = drop_mask(cfg, drop_knots, True).astype(dtype)
+    k = 1.0 - d
+    s = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diag(A)), 1e-8, None))
+    As = A * s[:, None] * s[None, :]
+
+    eps = jnp.asarray(1e-7 if dtype == jnp.float32 else 1e-10, dtype)
+    As_dd = As * d[:, None] * d[None, :]
+    As_dd = 0.5 * (As_dd + As_dd.T) + jnp.diag(eps * d + (1.0 - d))
+    Ld = jnp.linalg.cholesky(As_dd)
+    eye = jnp.eye(As_dd.shape[0], dtype=dtype)
+    Ld_inv = jax.scipy.linalg.solve_triangular(Ld, eye, lower=True)
+    As_dd_inv = (Ld_inv.T @ Ld_inv) * d[:, None] * d[None, :]
+    A_dd_inv = As_dd_inv * s[:, None] * s[None, :]
+
+    A_kd = A * k[:, None] * d[None, :]
+    A_sc = A * k[:, None] * k[None, :] - A_kd @ A_dd_inv @ A_kd.T
+    b_sc = b * k - A_kd @ (A_dd_inv @ (b * d))
+
+    sC = s[:C]
+    A_sc_cc = 0.5 * (A_sc[:C, :C] + A_sc[:C, :C].T)
+    As_cc = A_sc_cc * sC[:, None] * sC[None, :]
+    As_cc = 0.5 * (As_cc + As_cc.T) + eps * jnp.eye(C, dtype=dtype)
+    L2 = jnp.linalg.cholesky(As_cc)
+    J_lin = L2.T * (1.0 / sC)[None, :]
+    r_lin = jax.scipy.linalg.solve_triangular(L2, sC * b_sc[:C], lower=True)
+
+    out = PriorFactor(
+        J=J_lin, r0=r_lin,
+        knots_q0=params_x0.knots_q, knots_p0=params_x0.knots_p,
+        bg0=params_x0.bg, ba0=params_x0.ba, ld0=params_x0.ld,
+    )
+    if knot_shift is not None:
+        out = _roll_prior_traced(out, knot_shift, bias_shift, cfg)
+    return out
