@@ -56,7 +56,7 @@ def main():
             jax.config.update("jax_cpu_enable_async_dispatch", True)
         except Exception:
             pass
-        duration = args.duration or 20.0
+        duration = args.duration or 12.0
         dtype = np.float32
 
     import jax.numpy as jnp

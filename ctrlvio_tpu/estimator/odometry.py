@@ -153,13 +153,15 @@ class CtrlVIO:
         self._solve = jax.jit(
             partial(lm.solve_window, cfg=wc), static_argnames=("opts",))
 
-        def _ba_fused(params, img_f, imu_f, bias_f, prior_f, fixed_f, q_ref,
-                      p_ref, ext, gravity, imu_info, sqrt_info_img, opts):
-            """Solve + 4-DoF gauge restore + one packed host-bound vector.
-
-            Device->host pulls cost ~5-10 ms EACH over the remote tunnel;
-            packing everything the host needs into one array turns ~20
-            pulls per frame into one."""
+        def _ba_fused(blob, prior_f, ext, gravity, imu_info, sqrt_info_img,
+                      opts):
+            """Solve + 4-DoF gauge restore, one blob in / one packed vector
+            out. Individual transfers cost ~1-10 ms EACH over the remote
+            tunnel; this turns ~18 uploads + ~20 pulls per frame into 1+1."""
+            img_f, imu_f, bias_f, params, fixed_f = _blob_unpack(
+                blob, wc, self.jdt)
+            q_ref = params.knots_q[0]
+            p_ref = params.knots_p[0]
             p_out, stats = lm.solve_window(
                 params, img_f, imu_f, bias_f, prior_f, fixed_f, ext, gravity,
                 imu_info, sqrt_info_img, wc, opts)
@@ -497,12 +499,6 @@ class CtrlVIO:
             self._prior_on_device = True
         prior = self.prior if self.prior is not None else empty_prior(wc, self.jdt)
 
-        params = WindowParams(
-            knots_q=jnp.asarray(kq, self.jdt), knots_p=jnp.asarray(kp, self.jdt),
-            bg=jnp.asarray(self.bg, self.jdt), ba=jnp.asarray(self.ba, self.jdt),
-            dinv=jnp.asarray(dinv0, self.jdt),
-            ld=jnp.asarray(self.traj.line_delay, self.jdt),
-        )
         # no knots are hard-fixed (≙ UpdateTrajectory, which never calls
         # SetFixedIndex): LM damping spans the 4-DoF gauge null space and the
         # post-solve restore re-anchors yaw+position. Hard-anchoring the
@@ -510,15 +506,15 @@ class CtrlVIO:
         # (pitch/roll ARE observable and must stay free to rotate).
         fixed = np.ones(wc.KW, bool)
         fixed[:n_active] = False
+        blob = _blob_pack(img, imu, bias, kq, kp, self.bg, self.ba, dinv0,
+                          self.traj.line_delay, fixed)
         self.timing["ba_pack"] += _t() - t_pack0
 
         opts = self._init_opts if init else self._ba_opts
         t0 = _t()
-        # [6+7] fused solve + gauge restore; single packed device->host pull
+        # [6+7] fused solve + gauge restore; one upload, one pull
         packed, p_out = self._ba_fused(
-            params, _to_j(img), _to_j(imu), _to_j(bias), prior,
-            jnp.asarray(fixed), jnp.asarray(kq[0], self.jdt),
-            jnp.asarray(kp[0], self.jdt), self._ext, self._gravity_j,
+            blob, prior, self._ext, self._gravity_j,
             self._imu_info, self._sqrt_info_img, opts=opts)
         host = np.asarray(packed, dtype=np.float64)
         self.timing["ba_solve"] += _t() - t0
@@ -540,7 +536,8 @@ class CtrlVIO:
         # write back state
         t0 = _t()
         self.traj.write_back(self.win_knot0, kq_np, kp_np, n_active)
-        self.traj.line_delay = float(ld_np)
+        if not self.cfg.fix_ld:  # fixed ld stays bit-exact (blob is f32)
+            self.traj.line_delay = float(ld_np)
         self.bg = bg_np.copy()
         self.ba = ba_np.copy()
         if self.use_native:
@@ -673,6 +670,58 @@ def _empty_image_factors(wc: WindowConfig, dtype) -> ImageFactors:
 
 def _to_j(x):
     return jax.tree_util.tree_map(jnp.asarray, x)
+
+
+def _blob_pack(img: ImageFactors, imu: ImuFactors, bias: BiasFactors,
+               kq, kp, bg, ba, dinv, ld, fixed) -> np.ndarray:
+    """Concatenate every host-produced per-frame input into ONE f32 buffer
+    (host->device uploads cost ~1-3 ms EACH over the remote tunnel; one blob
+    is one upload). Integer/bool fields are f32-encoded (values << 2^24)."""
+    parts = []
+    for t in (img, imu, bias):
+        for f in t:
+            parts.append(np.asarray(f, np.float32).ravel())
+    for a in (kq, kp, bg, ba, dinv):
+        parts.append(np.asarray(a, np.float32).ravel())
+    parts.append(np.asarray([ld], np.float32))
+    parts.append(np.asarray(fixed, np.float32))
+    return np.concatenate(parts)
+
+
+def _blob_unpack(blob, cfg: WindowConfig, dtype):
+    """In-graph inverse of _blob_pack."""
+    OBS, M, NB, KW, LM = cfg.OBS, cfg.MIMU, cfg.NB, cfg.KW, cfg.LM
+    o = [0]
+
+    def take(shape, dt=None):
+        n = int(np.prod(shape))
+        x = jax.lax.dynamic_slice_in_dim(blob, o[0], n).reshape(shape)
+        o[0] += n
+        if dt is not None:
+            x = x.astype(dt)
+        return x
+
+    img = ImageFactors(
+        i0_i=take((OBS,), jnp.int32), f_i=take((OBS,)), row_i=take((OBS,)),
+        pt_i=take((OBS, 3)), i0_j=take((OBS,), jnp.int32), f_j=take((OBS,)),
+        row_j=take((OBS,)), pt_j=take((OBS, 3)),
+        lm_idx=take((OBS,), jnp.int32), valid=take((OBS,), jnp.bool_),
+        marg_drop=take((OBS,), jnp.bool_))
+    imu = ImuFactors(
+        i0=take((M,), jnp.int32), u=take((M,)), gyro=take((M, 3)),
+        accel=take((M, 3)), bias_idx=take((M,), jnp.int32),
+        valid=take((M,), jnp.bool_), marg_drop=take((M,), jnp.bool_))
+    bias = BiasFactors(sqrt_info=take((NB - 1, 6)),
+                       valid=take((NB - 1,), jnp.bool_))
+    kq = take((KW, 4), dtype)
+    kp = take((KW, 3), dtype)
+    bg = take((NB, 3), dtype)
+    ba = take((NB, 3), dtype)
+    dinv = take((LM,), dtype)
+    ld = take((1,), dtype)[0]
+    fixed = take((KW,), jnp.bool_)
+    params = WindowParams(knots_q=kq, knots_p=kp, bg=bg, ba=ba, dinv=dinv, ld=ld)
+    return img, imu, bias, params, fixed
 
 
 def _compact_factors(factors, sel, cap: int):
