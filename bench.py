@@ -74,7 +74,7 @@ def main():
     sim = synthetic.generate(synthetic.SimConfig(
         duration=duration, n_landmarks=300, seed=args.seed))
     cfg = VIOConfig(
-        window_config=WindowConfig(KW=48, NB=11, LM=256, OBS=768, MIMU=512),
+        window_config=WindowConfig(KW=32, NB=11, LM=256, OBS=768, MIMU=256),
         fix_ld=False, ld_init=0.0, dtype=dtype)
     q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
     vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))

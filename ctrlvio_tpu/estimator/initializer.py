@@ -48,58 +48,69 @@ def dead_reckon_poses(t_out_ns, imu_t_ns, gyro, accel, state: InitialState):
 
 
 def _dead_reckon_impl(t_out_ns, imu_t_ns, gyro, accel, state):
+    """Fully vectorized midpoint integration: per-step delta quaternions,
+    a Hillis–Steele prefix quaternion product (log2(N) vectorized passes),
+    batched world-accel rotation, and cumsum velocity/position — replaces a
+    per-sample Python loop that cost ~30 ms/frame."""
     from ctrlvio_tpu.ops import so3np
 
-    q = np.asarray(state.q, dtype=np.float64)
-    p = np.asarray(state.p, dtype=np.float64).copy()
-    v = np.asarray(state.v, dtype=np.float64).copy()
+    q0 = np.asarray(state.q, dtype=np.float64)
+    p0 = np.asarray(state.p, dtype=np.float64)
+    v0 = np.asarray(state.v, dtype=np.float64)
     g = state.gravity
     bg, ba = state.bg, state.ba
 
     t_out = np.asarray(t_out_ns, dtype=np.int64)
     out_q = np.zeros((len(t_out), 4))
     out_p = np.zeros((len(t_out), 3))
-    oi = 0
+
+    sel = imu_t_ns >= 0
+    ts = np.asarray(imu_t_ns)[sel]
+    gy = np.asarray(gyro)[sel]
+    ac = np.asarray(accel)[sel]
+    N = len(ts)
 
     # negative times: constant-velocity backward extrapolation from the
     # initial state (needed because knot P_0 carries the pose at -dt)
     neg = t_out < 0
     if np.any(neg):
-        w0 = (gyro[0] - bg) if len(gyro) else np.zeros(3)
-        for k in np.nonzero(neg)[0]:
-            dt_back = t_out[k] * 1e-9
-            out_p[k] = p + v * dt_back
-            out_q[k] = so3np.boxplus(q, w0 * dt_back)
-        oi = int(np.sum(neg))
+        w0 = (gy[0] - bg) if N else np.zeros(3)
+        dtb = (t_out[neg] * 1e-9)[:, None]
+        out_p[neg] = p0[None] + v0[None] * dtb
+        out_q[neg] = so3np.boxplus(np.broadcast_to(q0, (int(neg.sum()), 4)),
+                                   w0[None] * dtb)
 
-    def emit_until(t_ns, q, p):
-        nonlocal oi
-        while oi < len(t_out) and t_out[oi] <= t_ns:
-            out_q[oi] = q
-            out_p[oi] = p
-            oi += 1
+    if N == 0:
+        out_q[~neg] = q0
+        out_p[~neg] = p0
+        return out_q, out_p
 
-    sel = imu_t_ns >= 0
-    ts = imu_t_ns[sel]
-    gy = gyro[sel]
-    ac = accel[sel]
-    emit_until(ts[0] if len(ts) else 0, q, p)
-    for k in range(1, len(ts)):
-        dt = (ts[k] - ts[k - 1]) * 1e-9
-        w_mid = 0.5 * (gy[k - 1] + gy[k]) - bg
-        a0 = so3np.quat_rotate(q, ac[k - 1] - ba) - g
-        q_new = so3np.boxplus(q, w_mid * dt)
-        a1 = so3np.quat_rotate(q_new, ac[k] - ba) - g
-        a_mid = 0.5 * (a0 + a1)
-        p = p + v * dt + 0.5 * a_mid * dt * dt
-        v = v + a_mid * dt
-        q = q_new
-        emit_until(ts[k], q, p)
-    # fill any remaining (beyond IMU) with the last state
-    while oi < len(t_out):
-        out_q[oi] = q
-        out_p[oi] = p
-        oi += 1
+    dt = (np.diff(ts) * 1e-9)[:, None]                   # (N-1, 1)
+    w_mid = 0.5 * (gy[:-1] + gy[1:]) - bg                # (N-1, 3)
+    dq = so3np.quat_exp(w_mid * dt)                      # (N-1, 4)
+    # inclusive prefix products P[k] = dq[0] * ... * dq[k]
+    P = dq.copy()
+    s = 1
+    while s < len(P):
+        P[s:] = so3np.quat_mul(P[:-s], P[s:])
+        s *= 2
+    q_all = np.concatenate(
+        [q0[None], so3np.quat_normalize(so3np.quat_mul(q0[None], P))])
+    # world-frame acceleration at each sample (matches the midpoint scheme:
+    # step k uses R(q_k)(a_k - ba) and R(q_{k+1})(a_{k+1} - ba))
+    a_w = so3np.quat_rotate(q_all, ac - ba) - g          # (N, 3)
+    a_mid = 0.5 * (a_w[:-1] + a_w[1:])                   # (N-1, 3)
+    dv = a_mid * dt
+    v_all = np.concatenate([v0[None], v0[None] + np.cumsum(dv, 0)])
+    dp = v_all[:-1] * dt + 0.5 * a_mid * dt * dt
+    p_all = np.concatenate([p0[None], p0[None] + np.cumsum(dp, 0)])
+
+    # output at t = state at sample k where t ∈ (ts[k-1], ts[k]]; before the
+    # first sample -> initial state; beyond the last -> last state
+    pos = ~neg
+    idx = np.clip(np.searchsorted(ts, t_out[pos], side="left"), 0, N - 1)
+    out_q[pos] = q_all[idx]
+    out_p[pos] = p_all[idx]
     return out_q, out_p
 
 

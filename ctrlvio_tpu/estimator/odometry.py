@@ -47,7 +47,7 @@ MARGIN_SECOND_NEW = 1
 
 @dataclass
 class VIOConfig:
-    window_config: WindowConfig = WindowConfig(KW=48, NB=11, LM=256, OBS=2048, MIMU=512)
+    window_config: WindowConfig = WindowConfig(KW=32, NB=11, LM=256, OBS=2048, MIMU=256)
     knot_dt: float = 0.05
     # IMU noise -> information (≙ OptWeight, `opt_weight.h:115-140`)
     sigma_gyro: float = 4e-3
@@ -62,10 +62,12 @@ class VIOConfig:
     fix_ld: bool = False
     ld_lower: float = 0.0
     ld_upper: float = 3.5e-5
-    # the reference caps Ceres at 15 iterations WITH early termination
-    # (`trajectory_manager.cpp:313`); our branch-free LM runs all its
-    # iterations, and 8-10 measure as accurate as 15 on synthetic data
-    ba_iters: int = 10
+    # ≙ the reference's Ceres cap of 15 iterations WITH early termination
+    # (`trajectory_manager.cpp:313`): the LM loop stops once an accepted
+    # step improves the cost by < ba_tol (relative) — steady-state frames
+    # typically converge in 3-6 iterations
+    ba_iters: int = 12
+    ba_tol: float = 1e-5
     predict_iters: int = 8
     init_ba_iters: int = 30
     dtype: type = np.float32
@@ -141,8 +143,9 @@ class CtrlVIO:
 
         self._ba_opts = SolveOptions(
             max_iters=cfg.ba_iters, fix_ld=cfg.fix_ld, ld_lower=cfg.ld_lower,
-            ld_upper=cfg.ld_upper)
-        self._init_opts = self._ba_opts._replace(max_iters=cfg.init_ba_iters)
+            ld_upper=cfg.ld_upper, tol=cfg.ba_tol)
+        self._init_opts = self._ba_opts._replace(
+            max_iters=cfg.init_ba_iters, tol=0.0)
         self._predict_opts = SolveOptions(
             max_iters=cfg.predict_iters, lock_bias=True, fix_ld=True)
 
@@ -153,12 +156,14 @@ class CtrlVIO:
         self._solve = jax.jit(
             partial(lm.solve_window, cfg=wc), static_argnames=("opts",))
 
-        def _ba_fused(blob, prior_f, ext, gravity, imu_info, sqrt_info_img,
+        def _ba_fused(blob, ext, gravity, imu_info, sqrt_info_img,
                       opts):
             """Solve + 4-DoF gauge restore, one blob in / one packed vector
             out. Individual transfers cost ~1-10 ms EACH over the remote
-            tunnel; this turns ~18 uploads + ~20 pulls per frame into 1+1."""
-            img_f, imu_f, bias_f, params, fixed_f = _blob_unpack(
+            tunnel; this turns ~18 uploads + ~20 pulls per frame into 1+1.
+            The marginalization prior rides inside the same blob (its 7
+            leaves used to cost ~38 ms/frame in separate device_puts)."""
+            img_f, imu_f, bias_f, params, fixed_f, prior_f = _blob_unpack(
                 blob, wc, self.jdt)
             q_ref = params.knots_q[0]
             p_ref = params.knots_p[0]
@@ -204,13 +209,6 @@ class CtrlVIO:
         self._build_prior_dev = jax.jit(
             partial(marginalize.build_prior, cfg=self._marg_cfg),
             static_argnames=("opts",))
-        # hybrid prior build: factor linearization on the solver device
-        # (solver dtype), Schur + square root in f64 on the host CPU
-        self._marg_lin = jax.jit(
-            partial(marginalize.marg_linearize, cfg=self._marg_cfg),
-            static_argnames=("opts",))
-        self._marg_schur = jax.jit(
-            partial(marginalize.marg_schur, cfg=self._marg_cfg))
         self._restore = jax.jit(gauge.restore_gauge)
 
     # ------------------------------------------------------------------
@@ -475,6 +473,11 @@ class CtrlVIO:
         wc = self.wc
         cfg = self.cfg
         self.win_knot0 = self.traj.ctrl_idx(self.kf_t_ns[0])
+        span = self.traj.n - self.win_knot0
+        if span > wc.KW:
+            raise RuntimeError(
+                f"window spans {span} knots > KW={wc.KW}: keyframe gaps too "
+                f"large for the configured knot capacity; raise WindowConfig.KW")
         kq, kp, n_active = self.traj.window(self.win_knot0, wc.KW, np.float64)
 
         if self.use_native:
@@ -492,13 +495,6 @@ class CtrlVIO:
             cfg.dtype)
         bias = packing.bias_sqrt_info(self.imu_t_ns, self.kf_t_ns, cfg.sigma_bg,
                                       cfg.sigma_ba, wc, cfg.dtype)
-        if self.prior is not None and not getattr(self, "_prior_on_device", True):
-            dev = self._solve_device
-            if dev is not None and dev.platform != "cpu":
-                self.prior = jax.device_put(self.prior, dev)
-            self._prior_on_device = True
-        prior = self.prior if self.prior is not None else empty_prior(wc, self.jdt)
-
         # no knots are hard-fixed (≙ UpdateTrajectory, which never calls
         # SetFixedIndex): LM damping spans the 4-DoF gauge null space and the
         # post-solve restore re-anchors yaw+position. Hard-anchoring the
@@ -507,14 +503,15 @@ class CtrlVIO:
         fixed = np.ones(wc.KW, bool)
         fixed[:n_active] = False
         blob = _blob_pack(img, imu, bias, kq, kp, self.bg, self.ba, dinv0,
-                          self.traj.line_delay, fixed)
+                          self.traj.line_delay, fixed, self.prior, wc,
+                          np.float64 if self.jdt == jnp.float64 else np.float32)
         self.timing["ba_pack"] += _t() - t_pack0
 
         opts = self._init_opts if init else self._ba_opts
         t0 = _t()
         # [6+7] fused solve + gauge restore; one upload, one pull
         packed, p_out = self._ba_fused(
-            blob, prior, self._ext, self._gravity_j,
+            blob, self._ext, self._gravity_j,
             self._imu_info, self._sqrt_info_img, opts=opts)
         host = np.asarray(packed, dtype=np.float64)
         self.timing["ba_solve"] += _t() - t0
@@ -577,6 +574,8 @@ class CtrlVIO:
             # compute -> cast -> transfer to TPU, consumed next frame)
             knot_shift = (self.traj.ctrl_idx(self.kf_t_ns[1])
                           - self.traj.ctrl_idx(self.kf_t_ns[0]))
+            old_prior = (self.prior if self.prior is not None
+                         else empty_prior(wc, self.jdt))
             t0 = _time.perf_counter()
             if self.cfg.marg_on_host:
                 # full f64 build on the host CPU (async): the marg Schur
@@ -587,7 +586,7 @@ class CtrlVIO:
                     prior64 = self._build_prior_cpu(
                         p_marg, to64(img_m), to64(imu_m),
                         to64(bias),
-                        getattr(self, "_prior_cpu64", None) or to64(prior),
+                        getattr(self, "_prior_cpu64", None) or to64(old_prior),
                         np.asarray(drop),
                         to64(self._ext), np.asarray(self.gravity, np.float64),
                         np.asarray(self._imu_info, np.float64),
@@ -598,27 +597,27 @@ class CtrlVIO:
                     prior_cast = jax.tree_util.tree_map(
                         lambda x: x.astype(self.jdt)
                         if jnp.issubdtype(x.dtype, jnp.floating) else x, prior64)
-                # the cast copy transfers to the solver device just-in-time
-                # at the next BA (an eager device_put here would stall the
-                # TPU stream behind the CPU compute); the f64 original seeds
-                # the next marg build (keeps the prior recursion in f64)
+                # the cast copy is flattened into the next frame's blob
+                # upload just-in-time (keeps the CPU compute asynchronous
+                # until then); the f64 original seeds the next marg build
+                # (keeps the prior recursion in f64)
                 self._prior_cpu64 = prior64
                 self.prior = prior_cast
-                self._prior_on_device = False
             else:
-                # solver-dtype marg on the solver device (async, no
-                # transfers; relies on the Jacobi-scaled eigendecompositions)
+                # solver-dtype marg on the solver device (async; relies on
+                # the Jacobi-scaled factorizations). The result is pulled
+                # host-side at the next blob pack.
                 p_marg_dev = jax.tree_util.tree_map(
                     lambda x: jnp.asarray(np.asarray(x), self.jdt), p_marg)
                 self.prior = self._build_prior_dev(
-                    p_marg_dev, _to_j(img_m), _to_j(imu_m), _to_j(bias), prior,
+                    p_marg_dev, _to_j(img_m), _to_j(imu_m), _to_j(bias),
+                    _to_j(old_prior),
                     jnp.asarray(drop), self._ext, self._gravity_j,
                     self._imu_info, self._sqrt_info_img,
                     knot_shift=jnp.asarray(knot_shift, jnp.int32),
                     bias_shift=jnp.asarray(1, jnp.int32),
                     opts=opts._replace(cauchy_c=1.0))
                 self._prior_cpu64 = None
-                self._prior_on_device = True
             self.timing["prior"] += _time.perf_counter() - t0
 
     # ------------------------------------------------------------------
@@ -673,24 +672,39 @@ def _to_j(x):
 
 
 def _blob_pack(img: ImageFactors, imu: ImuFactors, bias: BiasFactors,
-               kq, kp, bg, ba, dinv, ld, fixed) -> np.ndarray:
-    """Concatenate every host-produced per-frame input into ONE f32 buffer
-    (host->device uploads cost ~1-3 ms EACH over the remote tunnel; one blob
-    is one upload). Integer/bool fields are f32-encoded (values << 2^24)."""
+               kq, kp, bg, ba, dinv, ld, fixed,
+               prior: Optional[PriorFactor], cfg: WindowConfig,
+               dtype=np.float32) -> np.ndarray:
+    """Concatenate every host-produced per-frame input — including the
+    marginalization prior's 7 leaves — into ONE buffer (host->device uploads
+    cost ~1-5 ms EACH over the remote tunnel; one blob is one upload).
+    Integer/bool fields are float-encoded (values << 2^24)."""
     parts = []
     for t in (img, imu, bias):
         for f in t:
-            parts.append(np.asarray(f, np.float32).ravel())
+            parts.append(np.asarray(f, dtype).ravel())
     for a in (kq, kp, bg, ba, dinv):
-        parts.append(np.asarray(a, np.float32).ravel())
-    parts.append(np.asarray([ld], np.float32))
-    parts.append(np.asarray(fixed, np.float32))
+        parts.append(np.asarray(a, dtype).ravel())
+    parts.append(np.asarray([ld], dtype))
+    parts.append(np.asarray(fixed, dtype))
+    if prior is None:
+        parts.append(np.zeros(_prior_size(cfg), dtype))
+    else:
+        # np.asarray on jax-CPU leaves blocks here (and only here) on the
+        # async f64 marg build dispatched last frame
+        for f in prior:
+            parts.append(np.asarray(f, dtype).ravel())
     return np.concatenate(parts)
+
+
+def _prior_size(cfg: WindowConfig) -> int:
+    C, KW, NB = cfg.C, cfg.KW, cfg.NB
+    return C * C + C + 4 * KW + 3 * KW + 3 * NB + 3 * NB + 1
 
 
 def _blob_unpack(blob, cfg: WindowConfig, dtype):
     """In-graph inverse of _blob_pack."""
-    OBS, M, NB, KW, LM = cfg.OBS, cfg.MIMU, cfg.NB, cfg.KW, cfg.LM
+    OBS, M, NB, KW, LM, C = cfg.OBS, cfg.MIMU, cfg.NB, cfg.KW, cfg.LM, cfg.C
     o = [0]
 
     def take(shape, dt=None):
@@ -720,8 +734,13 @@ def _blob_unpack(blob, cfg: WindowConfig, dtype):
     dinv = take((LM,), dtype)
     ld = take((1,), dtype)[0]
     fixed = take((KW,), jnp.bool_)
+    prior = PriorFactor(
+        J=take((C, C), dtype), r0=take((C,), dtype),
+        knots_q0=take((KW, 4), dtype), knots_p0=take((KW, 3), dtype),
+        bg0=take((NB, 3), dtype), ba0=take((NB, 3), dtype),
+        ld0=take((1,), dtype)[0])
     params = WindowParams(knots_q=kq, knots_p=kp, bg=bg, ba=ba, dinv=dinv, ld=ld)
-    return img, imu, bias, params, fixed
+    return img, imu, bias, params, fixed, prior
 
 
 def _compact_factors(factors, sel, cap: int):

@@ -133,6 +133,10 @@ class SolveOptions(NamedTuple):
     lm_lambda_init: float = 1e-4
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
+    # early termination: stop once an accepted step improves the cost by
+    # less than tol (relative). 0 = always run max_iters (≙ Ceres'
+    # function_tolerance, default 1e-6, `trajectory_estimator.cpp:379-383`)
+    tol: float = 0.0
 
 
 def empty_params(cfg: WindowConfig, dtype=jnp.float32) -> WindowParams:

@@ -79,7 +79,12 @@ def schur_solve(H, g, h_ll, g_l, H_cl, lam, col_mask, dtype_eps=1e-8):
     # magnitudes ~1e6 vs knot blocks ~1e2 make H badly scaled)
     s = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(H_sc), 1e-12, None))
     H_n = H_sc * s[:, None] * s[None, :]
-    dx = s * jnp.linalg.solve(H_n, -(s * g_sc))
+    # H_n is SPD after damping: Cholesky + two triangular solves beat the
+    # generic LU lowering on TPU; a failed factorization yields NaNs which
+    # the accept test rejects (lambda then increases)
+    L = jnp.linalg.cholesky(0.5 * (H_n + H_n.T))
+    y = jax.scipy.linalg.solve_triangular(L, -(s * g_sc), lower=True)
+    dx = s * jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
     dx = dx * col_mask
     dx_lm = -(g_l + H_cl @ dx) * inv_hll
     return dx, dx_lm
@@ -109,8 +114,8 @@ def solve_window(params: WindowParams, img: ImageFactors, imu: ImuFactors,
 
     cost0 = cost_fn(params)
 
-    def body(_, carry):
-        p, lam, cost, n_acc = carry
+    def body(carry):
+        p, lam, cost, n_acc, it, _ = carry
         lin = assemble.linearize(p, img, imu, bias, prior, ext, gravity,
                                  imu_info, sqrt_info_img, cfg, opts)
         H, g, h_ll, g_l, H_cl = build_normal_equations(lin, cfg, cmask)
@@ -126,10 +131,19 @@ def solve_window(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                              lam * opts.lm_lambda_up)
         lam_next = jnp.clip(lam_next, 1e-10, 1e8)
         cost_next = jnp.where(accept, new_cost, cost)
-        return p_next, lam_next, cost_next, n_acc + accept.astype(jnp.int32)
+        # converged once an accepted step improves cost by < tol (relative)
+        rel_dec = (cost - cost_next) / jnp.maximum(cost, 1e-30)
+        done = jnp.logical_and(accept, rel_dec < opts.tol)
+        return (p_next, lam_next, cost_next,
+                n_acc + accept.astype(jnp.int32), it + 1, done)
+
+    def cond(carry):
+        _, _, _, _, it, done = carry
+        return jnp.logical_and(it < opts.max_iters, jnp.logical_not(done))
 
     lam0 = jnp.asarray(opts.lm_lambda_init, dtype=dtype)
-    p_fin, lam_fin, cost_fin, n_acc = jax.lax.fori_loop(
-        0, opts.max_iters, body, (params, lam0, cost0, jnp.asarray(0, jnp.int32)))
+    p_fin, lam_fin, cost_fin, n_acc, _, _ = jax.lax.while_loop(
+        cond, body, (params, lam0, cost0, jnp.asarray(0, jnp.int32),
+                     jnp.asarray(0, jnp.int32), jnp.asarray(False)))
     return p_fin, SolveStats(cost0=cost0, cost=cost_fin, lm_lambda=lam_fin,
                              accepted=n_acc)

@@ -7,11 +7,14 @@ fixed-shape batched linear algebra:
   1. linearize the marg factor subset (old image factors with their inverse
      depths, IMU factors before ts[1], the first bias factor, the previous
      prior) at the current estimate — `assemble.linearize(marg_mode=True)`;
-  2. form the Gauss–Newton system A, b over the *extended* layout
-     [window C-coords ⊕ LM landmark coords] — the MXU matmul replaces the
-     4-pthread partial-Hessian reduction (`ThreadsConstructA`, :141-176);
-  3. Schur-eliminate the dropped set via a masked eigendecomposition
-     pseudo-inverse (eigenvalue truncation ≙ eps, `marginalization_factor.h:129`);
+  2. form the Gauss–Newton system over the window C-coords plus the
+     *diagonal* landmark block — the MXU matmul replaces the 4-pthread
+     partial-Hessian reduction (`ThreadsConstructA`, :141-176);
+  3. eliminate the landmark block analytically (truncated diagonal
+     pseudo-inverse ≙ the eigenvalue truncation of
+     `marginalization_factor.h:129` applied to 1x1 blocks), then
+     Schur-eliminate the dropped knot/bias coords via a masked
+     Jacobi-scaled Cholesky;
   4. take the square root of the kept system: J_lin = S^{1/2} V^T,
      r_lin = S^{-1/2} V^T b (:254-263), stored with the current values as
      linearization point (box-minus applied at solve time).
@@ -74,7 +77,7 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     lin = assemble.linearize(params, img, imu, bias, old_prior, ext, gravity,
                              imu_info, sqrt_info_img, cfg, opts, marg_mode=True)
 
-    # Gauss-Newton system over [C ⊕ LM]
+    # Gauss-Newton system over the C window coords + diagonal landmark block
     J = lin.J
     H_cc = J.T @ J
     g_c = J.T @ lin.r
@@ -86,51 +89,47 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     W = jnp.einsum("oc,ock->ok", Jl, J_rows)
     H_cl = jnp.zeros((LM, C), dtype=dtype).at[lin.lm_idx].add(W)
 
-    A = jnp.zeros((C + LM, C + LM), dtype=dtype)
-    A = A.at[:C, :C].set(H_cc)
-    A = A.at[:C, C:].set(H_cl.T)
-    A = A.at[C:, :C].set(H_cl)
-    A = A.at[C:, C:].set(jnp.diag(h_ll))
-    b = jnp.concatenate([g_c, g_l])
+    # [1] eliminate the landmark block analytically. It is DIAGONAL (1x1
+    # inverse-depth blocks), so the truncated pseudo-inverse here IS the
+    # reference's eigenvalue truncation (`marginalization_factor.cpp:240-252`)
+    # applied exactly — and the dense (C+LM)^2 extended system the previous
+    # implementation built (dominating the f64 host cost) never materializes.
+    thr = _eig_thresh(h_ll)
+    inv_hll = jnp.where(h_ll > thr, 1.0 / jnp.maximum(h_ll, thr), 0.0)
+    H1 = H_cc - H_cl.T @ (H_cl * inv_hll[:, None])
+    g1 = g_c - H_cl.T @ (inv_hll * g_l)
+    H1 = 0.5 * (H1 + H1.T)
 
-    d = drop_mask(cfg, drop_knots, True).astype(dtype)
+    # [2] Schur-eliminate the dropped window coords (old control points +
+    # first bias) with a masked, Jacobi-scaled Cholesky. Scaling compresses
+    # the dynamic range (bias info vs knot blocks) so the factorization stays
+    # accurate — required for f32, improves f64 conditioning too.
+    d = drop_mask(cfg, drop_knots, True)[:C].astype(dtype)
     k = 1.0 - d
-
-    # symmetric Jacobi scaling: compresses the dynamic range (bias info vs
-    # knot blocks) so the eigendecompositions stay accurate — required for
-    # f32, improves f64 conditioning too. A = Dinv As Dinv with
-    # As = D A D, D = diag(s).
-    s = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diag(A)), 1e-8, None))
-    As = A * s[:, None] * s[None, :]
-
-    # regularized inverse of the dropped block (in scaled coordinates):
-    # A_dd^+ ~ D (As_dd + eps I)^-1 D via Cholesky — the reference uses an
-    # eigendecomposition with eigenvalue truncation
-    # (`marginalization_factor.cpp:240-252`); with unit-scaled coordinates a
-    # small diagonal jitter is the equivalent regularization at a third of
-    # the cost, and Cholesky maps far better onto both CPU and TPU.
+    s = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diag(H1)), 1e-8, None))
     eps = jnp.asarray(1e-7 if dtype == jnp.float32 else 1e-10, dtype)
-    As_dd = As * d[:, None] * d[None, :]
-    As_dd = 0.5 * (As_dd + As_dd.T) + jnp.diag(eps * d + (1.0 - d))
-    Ld = jnp.linalg.cholesky(As_dd)
-    eye = jnp.eye(As_dd.shape[0], dtype=dtype)
+    Hs = H1 * s[:, None] * s[None, :]
+    Hs_dd = Hs * d[:, None] * d[None, :]
+    Hs_dd = 0.5 * (Hs_dd + Hs_dd.T) + jnp.diag(eps * d + (1.0 - d))
+    Ld = jnp.linalg.cholesky(Hs_dd)
+    eye = jnp.eye(C, dtype=dtype)
     Ld_inv = jax.scipy.linalg.solve_triangular(Ld, eye, lower=True)
-    As_dd_inv = (Ld_inv.T @ Ld_inv) * d[:, None] * d[None, :]
-    A_dd_inv = As_dd_inv * s[:, None] * s[None, :]
+    Hs_dd_inv = (Ld_inv.T @ Ld_inv) * d[:, None] * d[None, :]
+    H_dd_inv = Hs_dd_inv * s[:, None] * s[None, :]
 
-    A_kd = A * k[:, None] * d[None, :]
-    A_sc = A * k[:, None] * k[None, :] - A_kd @ A_dd_inv @ A_kd.T
-    b_sc = b * k - A_kd @ (A_dd_inv @ (b * d))
+    H_kd = H1 * k[:, None] * d[None, :]
+    H_sc = H1 * k[:, None] * k[None, :] - H_kd @ H_dd_inv @ H_kd.T
+    b_sc = g1 * k - H_kd @ (H_dd_inv @ (g1 * d))
 
-    # square root of the kept C-block via Cholesky in scaled coordinates:
-    # As_cc + eps I = L L^T  =>  J = L^T Dinv,  L r = D b_sc
-    sC = s[:C]
-    A_sc_cc = 0.5 * (A_sc[:C, :C] + A_sc[:C, :C].T)
-    As_cc = A_sc_cc * sC[:, None] * sC[None, :]
-    As_cc = 0.5 * (As_cc + As_cc.T) + eps * jnp.eye(C, dtype=dtype)
-    L2 = jnp.linalg.cholesky(As_cc)
-    J_lin = L2.T * (1.0 / sC)[None, :]
-    r_lin = jax.scipy.linalg.solve_triangular(L2, sC * b_sc[:C], lower=True)
+    # [3] square root of the kept block via Cholesky in scaled coordinates:
+    # Hs_kk + eps I = L L^T  =>  J = L^T Dinv,  L r = D b_sc
+    # (the reference stores the eigendecomposition sqrt, :254-263)
+    H_sc = 0.5 * (H_sc + H_sc.T)
+    Hs_kk = H_sc * s[:, None] * s[None, :]
+    Hs_kk = 0.5 * (Hs_kk + Hs_kk.T) + eps * jnp.eye(C, dtype=dtype)
+    L2 = jnp.linalg.cholesky(Hs_kk)
+    J_lin = L2.T * (1.0 / s)[None, :]
+    r_lin = jax.scipy.linalg.solve_triangular(L2, s * b_sc, lower=True)
 
     out = PriorFactor(
         J=J_lin, r0=r_lin,
@@ -225,82 +224,3 @@ def roll_prior(prior: PriorFactor, knot_shift: int, bias_shift: int,
     return PriorFactor(J=jnp.asarray(J), r0=prior.r0, knots_q0=jnp.asarray(kq0),
                        knots_p0=jnp.asarray(kp0), bg0=jnp.asarray(bg0),
                        ba0=jnp.asarray(ba0), ld0=prior.ld0)
-
-
-# ---------------------------------------------------------------------------
-# hybrid build: device linearize (f32) + host Schur/sqrt (f64)
-# ---------------------------------------------------------------------------
-
-
-def marg_linearize(params, img, imu, bias, old_prior, ext, gravity, imu_info,
-                   sqrt_info_img, cfg: WindowConfig, opts: SolveOptions):
-    """Device-side half of the prior build: evaluate the marg factor subset
-    and return its dense Jacobian rows (solver dtype). The precision-critical
-    Schur cancellation and square root stay in f64 on the host
-    (`marg_schur`); the factor Jacobians themselves are f32-safe. This keeps
-    the ~200 ms serial-scatter CPU linearize off the host."""
-    lin = assemble.linearize(params, img, imu, bias, old_prior, ext, gravity,
-                             imu_info, sqrt_info_img, cfg, opts,
-                             marg_mode=True)
-    r_img = lin.r[: 2 * cfg.OBS].reshape(cfg.OBS, 2)
-    return lin.J, lin.r, lin.J_lm, r_img
-
-
-def marg_schur(J, r, J_lm, r_img, lm_idx, drop_knots, params_x0,
-               cfg: WindowConfig, knot_shift=None, bias_shift=None
-               ) -> PriorFactor:
-    """Host-side half (run under f64): normal equations from the dense rows,
-    extended landmark system, Schur elimination, Cholesky square root, and
-    the in-graph post-slide roll."""
-    dtype = J.dtype
-    C, LM = cfg.C, cfg.LM
-
-    H_cc = J.T @ J
-    g_c = J.T @ r
-    h_ll = jnp.zeros((LM,), dtype=dtype).at[lm_idx].add(jnp.sum(J_lm * J_lm, -1))
-    g_l = jnp.zeros((LM,), dtype=dtype).at[lm_idx].add(jnp.sum(J_lm * r_img, -1))
-    J_rows = J[: 2 * cfg.OBS].reshape(cfg.OBS, 2, C)
-    W = jnp.einsum("oc,ock->ok", J_lm, J_rows)
-    H_cl = jnp.zeros((LM, C), dtype=dtype).at[lm_idx].add(W)
-
-    A = jnp.zeros((C + LM, C + LM), dtype=dtype)
-    A = A.at[:C, :C].set(H_cc)
-    A = A.at[:C, C:].set(H_cl.T)
-    A = A.at[C:, :C].set(H_cl)
-    A = A.at[C:, C:].set(jnp.diag(h_ll))
-    b = jnp.concatenate([g_c, g_l])
-
-    d = drop_mask(cfg, drop_knots, True).astype(dtype)
-    k = 1.0 - d
-    s = 1.0 / jnp.sqrt(jnp.clip(jnp.abs(jnp.diag(A)), 1e-8, None))
-    As = A * s[:, None] * s[None, :]
-
-    eps = jnp.asarray(1e-7 if dtype == jnp.float32 else 1e-10, dtype)
-    As_dd = As * d[:, None] * d[None, :]
-    As_dd = 0.5 * (As_dd + As_dd.T) + jnp.diag(eps * d + (1.0 - d))
-    Ld = jnp.linalg.cholesky(As_dd)
-    eye = jnp.eye(As_dd.shape[0], dtype=dtype)
-    Ld_inv = jax.scipy.linalg.solve_triangular(Ld, eye, lower=True)
-    As_dd_inv = (Ld_inv.T @ Ld_inv) * d[:, None] * d[None, :]
-    A_dd_inv = As_dd_inv * s[:, None] * s[None, :]
-
-    A_kd = A * k[:, None] * d[None, :]
-    A_sc = A * k[:, None] * k[None, :] - A_kd @ A_dd_inv @ A_kd.T
-    b_sc = b * k - A_kd @ (A_dd_inv @ (b * d))
-
-    sC = s[:C]
-    A_sc_cc = 0.5 * (A_sc[:C, :C] + A_sc[:C, :C].T)
-    As_cc = A_sc_cc * sC[:, None] * sC[None, :]
-    As_cc = 0.5 * (As_cc + As_cc.T) + eps * jnp.eye(C, dtype=dtype)
-    L2 = jnp.linalg.cholesky(As_cc)
-    J_lin = L2.T * (1.0 / sC)[None, :]
-    r_lin = jax.scipy.linalg.solve_triangular(L2, sC * b_sc[:C], lower=True)
-
-    out = PriorFactor(
-        J=J_lin, r0=r_lin,
-        knots_q0=params_x0.knots_q, knots_p0=params_x0.knots_p,
-        bg0=params_x0.bg, ba0=params_x0.ba, ld0=params_x0.ld,
-    )
-    if knot_shift is not None:
-        out = _roll_prior_traced(out, knot_shift, bias_shift, cfg)
-    return out
