@@ -141,6 +141,103 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     return out
 
 
+def build_prior_sqrt(params: WindowParams, img: ImageFactors, imu: ImuFactors,
+                     bias: BiasFactors, old_prior: PriorFactor, drop_knots,
+                     ext, gravity, imu_info, sqrt_info_img,
+                     cfg: WindowConfig, opts: SolveOptions,
+                     knot_shift=None, bias_shift=None) -> PriorFactor:
+    """Square-root (QR) marginalization — the f32/TPU-safe formulation.
+
+    The normal-equation build (`build_prior`) forms H = JᵀJ and Schur-
+    eliminates by subtraction; in f32 the cancellation against the
+    accumulated prior corrupts the recursion (~2 m ATE drift measured).
+    Here nothing is ever squared: stack the marg-subset factor rows, the
+    landmark columns, and the old prior's square-root rows into one tall
+    matrix [A | b] over columns [landmarks | dropped coords | kept coords],
+    then a single Q-less Householder QR eliminates landmarks + dropped
+    coords by *orthogonal transforms only*. The trailing rows are the new
+    prior's square root — the classic square-root information filter
+    (Bierman 1977), which is exactly why it runs in f32 where the H-form
+    needs f64. ≙ `marginalization_factor.cpp:209-263` (4-thread H build +
+    eigendecomposition sqrt) re-designed for the MXU.
+
+    Unlike `build_prior`, takes the FULL (uncompacted) factor arrays — the
+    marg subset is selected by the `marg_drop` masks inside
+    `assemble.linearize(marg_mode=True)`, so the whole build is jittable
+    with no host-side compaction.
+    """
+    dtype = params.knots_p.dtype
+    C, LM, OBS = cfg.C, cfg.LM, cfg.OBS
+
+    lin = assemble.linearize(params, img, imu, bias, old_prior, ext, gravity,
+                             imu_info, sqrt_info_img, cfg, opts, marg_mode=True)
+    R = lin.J.shape[0]
+
+    # landmark columns: J_lm (OBS, 2) scattered to (2*OBS, LM) dense columns
+    oh = (jnp.arange(LM, dtype=jnp.int32)[None, :]
+          == lin.lm_idx[:, None]).astype(dtype)          # (OBS, LM)
+    A_lm_img = (lin.J_lm[:, :, None] * oh[:, None, :]).reshape(2 * OBS, LM)
+    A_lm = jnp.concatenate(
+        [A_lm_img, jnp.zeros((R - 2 * OBS, LM), dtype=dtype)], axis=0)
+
+    # column scaling (algebraically exact: scaling a variable commutes with
+    # marginalizing it; kept columns are unscaled at the end)
+    cs_lm = jnp.linalg.norm(A_lm, axis=0)
+    cs_c = jnp.linalg.norm(lin.J, axis=0)
+    cs_lm = jnp.where(cs_lm > 1e-12, cs_lm, 1.0)
+    cs_c = jnp.where(cs_c > 1e-12, cs_c, 1.0)
+
+    # permute the C block: dropped coords first (landmark cols are all
+    # dropped and already lead). argsort of the kept-flag is stable, so
+    # column order within each group is preserved.
+    drop_c = drop_mask(cfg, drop_knots, True)[:C]
+    order = jnp.argsort(jnp.logical_not(drop_c), stable=True)
+    inv_order = jnp.argsort(order)
+
+    A = jnp.concatenate([
+        A_lm / cs_lm[None, :],
+        (lin.J / cs_c[None, :])[:, order],
+        lin.r[:, None],
+    ], axis=1)                                            # (R, LM+C+1)
+
+    # Rank-deficiency guard: Householder QR without pivoting handles a zero
+    # (or near-noise) pivot in the eliminated block by grabbing an arbitrary
+    # data direction as q_j — stealing a row of KEPT-coordinate information
+    # into the discarded block (empty landmark slots make this the common
+    # case, not a corner). Appending eps·I rows gives every column a private
+    # pivot axis orthogonal to all data rows, so degenerate columns consume
+    # their own eps row instead. Cost: spurious eps² self-information on each
+    # coordinate (scaled units, so relative) — far below both dtypes' noise.
+    eps = jnp.asarray(3e-4 if dtype == jnp.float32 else 1e-7, dtype)
+    reg = jnp.concatenate([
+        eps * jnp.eye(LM + C, dtype=dtype),
+        jnp.zeros((LM + C, 1), dtype=dtype),
+    ], axis=1)
+    A = jnp.concatenate([A, reg], axis=0)
+    Rq = jnp.linalg.qr(A, mode="r")                       # (LM+C+1, LM+C+1)
+
+    # marginal rows: strictly below the eliminated [landmarks | dropped]
+    # block. Row index >= LM always (landmarks all dropped), so rows
+    # [LM, LM+C) hold the (masked) C marginal rows.
+    d_tot = LM + jnp.sum(drop_c.astype(jnp.int32))
+    rows = Rq[LM : LM + C]
+    keep_row = (jnp.arange(LM, LM + C) >= d_tot)[:, None].astype(dtype)
+    rows = rows * keep_row
+
+    J_perm = rows[:, LM : LM + C]
+    J_out = jnp.take(J_perm, inv_order, axis=1) * cs_c[None, :]
+    r_out = rows[:, LM + C]
+
+    out = PriorFactor(
+        J=J_out, r0=r_out,
+        knots_q0=params.knots_q, knots_p0=params.knots_p,
+        bg0=params.bg, ba0=params.ba, ld0=params.ld,
+    )
+    if knot_shift is not None:
+        out = _roll_prior_traced(out, knot_shift, bias_shift, cfg)
+    return out
+
+
 def _roll_prior_traced(prior: PriorFactor, knot_shift, bias_shift,
                        cfg: WindowConfig) -> PriorFactor:
     """In-graph column/row roll of the prior into the post-slide layout
