@@ -202,6 +202,31 @@ struct FeatureTable {
     }
   }
 
+  // Current candidate ids in pack slot order, recomputed fresh (the cached
+  // last_candidates pointers can dangle after slides). Used by the
+  // streaming pipeline to key lagged depth write-backs by feature id.
+  int slot_fids(int64_t* out, int cap) {
+    int n = 0;
+    for (auto& t : track_list) {
+      if (!is_candidate(t)) continue;
+      if (n >= cap) break;
+      out[n++] = t.id;
+    }
+    return n;
+  }
+
+  // Fid-keyed depth write-back (≙ set_depths but safe against slot
+  // reordering between the solve dispatch and the lagged consumption).
+  void set_depths_by_id(int n, const int64_t* ids, const float* dinv) {
+    for (int k = 0; k < n; ++k) {
+      auto it = index.find(ids[k]);
+      if (it == index.end()) continue;
+      double d = dinv[k] != 0 ? 1.0 / dinv[k] : -1.0;
+      it->second->depth = d;
+      it->second->solve_ok = d > 0;
+    }
+  }
+
   // Multi-view DLT for candidate tracks without depth; cam_R: (F, 9) row
   // major world rotations (camera-to-world), cam_p: (F, 3).
   void triangulate(int F, const double* cam_R, const double* cam_p) {
@@ -362,6 +387,15 @@ void ft_slide_second_new(void* h, int frame_count) {
 }
 
 void ft_remove_failures(void* h) { ((FeatureTable*)h)->remove_failures(); }
+
+int ft_slot_fids(void* h, int64_t* out, int cap) {
+  return ((FeatureTable*)h)->slot_fids(out, cap);
+}
+
+void ft_set_depths_by_id(void* h, int n, const int64_t* ids,
+                         const float* dinv) {
+  ((FeatureTable*)h)->set_depths_by_id(n, ids, dinv);
+}
 
 int ft_num_tracks(void* h) { return (int)((FeatureTable*)h)->track_list.size(); }
 

@@ -84,6 +84,21 @@ class FeatureTable:
         for fid in dead:
             del self.tracks[fid]
 
+    def slot_fids(self, cap: int) -> np.ndarray:
+        """Current candidate feature ids in pack slot order (streaming
+        pipeline: keys lagged depth write-backs by feature id)."""
+        return np.array([t.feature_id for t in self.candidates()][:cap],
+                        dtype=np.int64)
+
+    def set_depths_by_id(self, ids, dinv):
+        for fid, d in zip(np.asarray(ids), np.asarray(dinv)):
+            tr = self.tracks.get(int(fid))
+            if tr is None:
+                continue
+            depth = 1.0 / d if d != 0 else -1.0
+            tr.estimated_depth = float(depth)
+            tr.solve_ok = depth > 0
+
     # ------------------------------------------------------------------
     def triangulate(self, cam_q: np.ndarray, cam_p: np.ndarray):
         """Multi-view DLT for tracks without depth, using per-frame *camera*

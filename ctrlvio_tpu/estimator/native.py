@@ -68,6 +68,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ft_slide_old.argtypes = [ctypes.c_void_p, f64p, f64p, f64p, f64p]
     lib.ft_slide_second_new.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.ft_remove_failures.argtypes = [ctypes.c_void_p]
+    lib.ft_slot_fids.restype = ctypes.c_int
+    lib.ft_slot_fids.argtypes = [ctypes.c_void_p, i64p, ctypes.c_int]
+    lib.ft_set_depths_by_id.argtypes = [ctypes.c_void_p, ctypes.c_int, i64p,
+                                        f32p]
     lib.ft_num_tracks.restype = ctypes.c_int
     lib.ft_num_tracks.argtypes = [ctypes.c_void_p]
     lib.ft_last_track_num.restype = ctypes.c_int
@@ -148,6 +152,17 @@ class NativeFeatureTable:
 
     def remove_failures(self):
         self._lib.ft_remove_failures(self._h)
+
+    def slot_fids(self, cap: int) -> np.ndarray:
+        """Current candidate feature ids in pack slot order."""
+        out = np.zeros(cap, np.int64)
+        n = self._lib.ft_slot_fids(self._h, out, cap)
+        return out[:n]
+
+    def set_depths_by_id(self, ids, dinv):
+        ids = np.ascontiguousarray(ids, np.int64)
+        self._lib.ft_set_depths_by_id(
+            self._h, len(ids), ids, np.ascontiguousarray(dinv, np.float32))
 
     @property
     def n_tracks(self) -> int:

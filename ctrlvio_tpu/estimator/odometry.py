@@ -81,6 +81,14 @@ class VIOConfig:
     # False = solver dtype on the solver device (fast; viable with the
     # Jacobi-scaled eigendecompositions + capped bias information)
     marg_on_host: bool = True
+    # streaming pipeline: the whole per-frame update runs as ONE device
+    # program chained frame-to-frame (estimator/stream.py) with zero host
+    # synchronization on the critical path; summaries are pulled
+    # asynchronously `stream_lag` frames later for the host mirror. The
+    # marginalization then runs on-device in the solver dtype via the QR
+    # square-root form. False = classic synchronous per-frame round trips.
+    stream: bool = False
+    stream_lag: int = 6
 
 
 @dataclass
@@ -211,6 +219,19 @@ class CtrlVIO:
             static_argnames=("opts",))
         self._restore = jax.jit(gauge.restore_gauge)
 
+        if cfg.stream:
+            from collections import deque
+
+            from . import stream as stream_mod
+
+            self._stream_mod = stream_mod
+            self._megastep = jax.jit(
+                partial(stream_mod.megastep, cfg=wc), static_argnames=("opts",))
+            self._stream_pending: "deque" = deque()
+            self._dev_state = None
+            self._prev_slot_fids: dict = {}
+            self._dev_knot_hi = 0  # global knot idx the device has seeds through
+
     # ------------------------------------------------------------------
     # ingest
     # ------------------------------------------------------------------
@@ -304,14 +325,37 @@ class CtrlVIO:
         if not self.initialized:
             return self._accumulate_init_frame(t_ns, ids, pts, rows)
 
+        import time as _time
+
+        if self.cfg.stream:
+            # [0] consume summaries that are due (lagged host mirror update).
+            # The lag ramps up after the bootstrap transient: early frames
+            # carry large solve corrections (line delay calibrating from 0),
+            # so the mirror consumes synchronously first, then the pipeline
+            # opens to `stream_lag` for steady-state throughput.
+            t0 = _time.perf_counter()
+            self._stream_frame_no = getattr(self, "_stream_frame_no", 0) + 1
+            lag = min(self.cfg.stream_lag,
+                      max(0, self._stream_frame_no - 20))
+            n_before = len(self._stream_pending)
+            self._consume_summaries(lag)
+            if len(self._stream_pending) < n_before:
+                # re-integrate the mirror's dead-reckoned tail from the
+                # freshly solved end — otherwise tip knots chain off stale
+                # dead-reckoned states and the online estimate random-walks
+                hi = self._mirror_solved_hi
+                if hi < self.traj.n:
+                    self._deadreckon_extension(
+                        int((hi - 3) * self.traj.dt_ns), hi - 1,
+                        self.traj.max_time_ns)
+            self.timing["consume"] += _time.perf_counter() - t0
+
         # [2] feature update + keyframe decision (new frame -> slot NB-1)
         is_kf = self.features.add_frame(wc.NB - 1, ids, pts, rows)
         self.marg_flag = MARGIN_OLD if is_kf else MARGIN_SECOND_NEW
         self.kf_t_ns[wc.NB - 1] = t_ns
         self.bg[wc.NB - 1] = self.bg[wc.NB - 2]
         self.ba[wc.NB - 1] = self.ba[wc.NB - 2]
-
-        import time as _time
 
         # [3] extend trajectory + [4] IMU-only predict
         t0 = _time.perf_counter()
@@ -323,15 +367,23 @@ class CtrlVIO:
         self._triangulate()
         self.timing["triangulate"] += _time.perf_counter() - t0
 
-        # [6-8] full BA + gauge + marginalization
-        t0 = _time.perf_counter()
-        self._solve_window_ba()
-        self.timing["ba"] += _time.perf_counter() - t0
+        # [6-9] full BA + gauge + marginalization + slide
+        if self.cfg.stream:
+            t0 = _time.perf_counter()
+            self._stream_dispatch(init=False)
+            self.timing["dispatch"] += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            self._slide_window(record_keyframe=False)
+            self.timing["slide"] += _time.perf_counter() - t0
+        else:
+            t0 = _time.perf_counter()
+            self._solve_window_ba()
+            self.timing["ba"] += _time.perf_counter() - t0
 
-        # [9] slide
-        t0 = _time.perf_counter()
-        self._slide_window()
-        self.timing["slide"] += _time.perf_counter() - t0
+            # [9] slide
+            t0 = _time.perf_counter()
+            self._slide_window()
+            self.timing["slide"] += _time.perf_counter() - t0
 
         q, p = self.traj.pose(t_ns)
         return q[0], p[0]
@@ -365,8 +417,12 @@ class CtrlVIO:
         self.traj.knots_p[: self.traj.n] = kp
         self._extend_and_predict(t_ns, from_start=True)
         self._triangulate()
-        self._solve_window_ba(init=True)
-        self._slide_window()
+        if self.cfg.stream:
+            self._stream_dispatch(init=True)
+            self._slide_window(record_keyframe=False)
+        else:
+            self._solve_window_ba(init=True)
+            self._slide_window()
         self.initialized = True
         q, p = self.traj.pose(t_ns)
         return q[0], p[0]
@@ -621,13 +677,16 @@ class CtrlVIO:
             self.timing["prior"] += _time.perf_counter() - t0
 
     # ------------------------------------------------------------------
-    def _slide_window(self):
+    def _slide_window(self, record_keyframe: bool = True):
         wc = self.wc
         nb = wc.NB
         if self.marg_flag == MARGIN_OLD:
-            # record the keyframe leaving the window
-            q, p = self.traj.pose(self.kf_t_ns[0])
-            self.keyframes.append(KeyframePose(int(self.kf_t_ns[0]), q[0], p[0]))
+            if record_keyframe:
+                # record the keyframe leaving the window (streaming mode
+                # does this at summary consumption, when the pose is final)
+                q, p = self.traj.pose(self.kf_t_ns[0])
+                self.keyframes.append(
+                    KeyframePose(int(self.kf_t_ns[0]), q[0], p[0]))
 
             from ctrlvio_tpu.ops import so3np
 
@@ -653,6 +712,143 @@ class CtrlVIO:
             self.kf_t_ns[nb - 2] = self.kf_t_ns[nb - 1]
             self.bg[nb - 2] = self.bg[nb - 1]
             self.ba[nb - 2] = self.ba[nb - 1]
+
+
+    # ------------------------------------------------------------------
+    # streaming pipeline (device-resident state; see estimator/stream.py)
+    # ------------------------------------------------------------------
+    def _stream_dispatch(self, init: bool = False):
+        """Pack this frame's feed-forward inputs into one blob and chain the
+        device megastep — no host synchronization. ≙ steps [6-9] of the
+        per-frame pipeline, executed device-side."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        wc, cfg = self.wc, self.cfg
+        sm = self._stream_mod
+        np_dtype = np.float64 if self.jdt == jnp.float64 else np.float32
+
+        self.win_knot0 = self.traj.ctrl_idx(self.kf_t_ns[0])
+        span = self.traj.n - self.win_knot0
+        if span > wc.KW:
+            raise RuntimeError(
+                f"window spans {span} knots > KW={wc.KW}; raise WindowConfig.KW")
+        kq, kp, n_active = self.traj.window(self.win_knot0, wc.KW, np.float64)
+
+        if self.use_native:
+            img, dinv0, _ = self.features.pack_image_factors(
+                self.kf_t_ns, self.traj.dt, self.win_knot0, wc, cfg.dtype)
+        else:
+            img, dinv0, _ = packing.pack_image_factors(
+                list(self.features.tracks.values()), self.kf_t_ns,
+                self.traj.dt, self.win_knot0, wc, cfg.dtype)
+        slot_fids = self.features.slot_fids(wc.LM)
+        t_lo = self.win_knot0 * int(self.traj.dt_ns)
+        imu = packing.pack_imu_factors(
+            self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
+            t_lo, self.traj.max_time_ns, self.traj.dt, self.win_knot0, wc,
+            cfg.dtype)
+        bias = packing.bias_sqrt_info(self.imu_t_ns, self.kf_t_ns,
+                                      cfg.sigma_bg, cfg.sigma_ba, wc, cfg.dtype)
+        fixed = np.ones(wc.KW, bool)
+        fixed[:n_active] = False
+
+        # knot seeds: only knots appended since the last dispatch (the
+        # device already holds the solved interior — fresher than any
+        # lagged host mirror)
+        seed_mask = np.zeros(wc.KW, bool)
+        lo_rel = 0 if init else max(self._dev_knot_hi - self.win_knot0, 0)
+        seed_mask[lo_rel:n_active] = True
+        self._dev_knot_hi = self.win_knot0 + n_active
+
+        # landmark slot permutation: current slot -> previous dispatch's
+        # slot (device dinv is authoritative for persisting landmarks;
+        # fresh slots take the host seed)
+        perm = np.full(wc.LM, -1, np.int32)
+        if not init:
+            prev = self._prev_slot_fids
+            for i, fid in enumerate(slot_fids):
+                perm[i] = prev.get(int(fid), -1)
+        self._prev_slot_fids = {int(f): i for i, f in enumerate(slot_fids)}
+
+        marg_old = self.marg_flag == MARGIN_OLD
+        k1 = self.traj.ctrl_idx(self.kf_t_ns[1]) - self.win_knot0
+        drop = np.zeros(wc.KW, bool)
+        knot_shift = 0
+        if marg_old:
+            drop[:k1] = True
+            knot_shift = k1
+        g0i, g0f = packing.grid_of(self.kf_t_ns[0:1], self.traj.dt,
+                                   self.win_knot0)
+        g1i, g1f = packing.grid_of(self.kf_t_ns[1:2], self.traj.dt,
+                                   self.win_knot0)
+        blob = sm.pack_stream_blob(
+            img, imu, bias, fixed, kq, kp, seed_mask, perm, dinv0, drop,
+            marg_old, knot_shift, (g0i[0], g0f[0]), (g1i[0], g1f[0]),
+            np_dtype)
+        self.timing["pack"] += _time.perf_counter() - t0
+
+        t0 = _time.perf_counter()
+        if self._dev_state is None:
+            from ctrlvio_tpu.solver.layout import empty_params
+
+            p0 = empty_params(wc, self.jdt)._replace(
+                bg=jnp.asarray(self.bg, self.jdt),
+                ba=jnp.asarray(self.ba, self.jdt),
+                ld=jnp.asarray(self.traj.line_delay, self.jdt))
+            self._dev_state = sm.DevState(params=p0,
+                                          prior=empty_prior(wc, self.jdt))
+        opts = self._init_opts if init else self._ba_opts
+        self._dev_state, summary = self._megastep(
+            self._dev_state, blob, self._ext, self._gravity_j,
+            self._imu_info, self._sqrt_info_img, opts=opts)
+        try:
+            summary.copy_to_host_async()
+        except Exception:
+            pass
+        self._stream_pending.append((dict(
+            win_knot0=self.win_knot0, n_active=n_active,
+            kf0_t_ns=int(self.kf_t_ns[0]), marg_old=marg_old,
+            slot_fids=slot_fids), summary))
+        self.timing["dispatch_jit"] += _time.perf_counter() - t0
+
+    def _consume_summaries(self, max_pending: int):
+        while self._stream_pending and len(self._stream_pending) > max_pending:
+            self._consume_one()
+
+    def flush(self):
+        """Drain all in-flight summaries into the host mirror (call before
+        reading final poses / keyframes / line delay)."""
+        if not self.cfg.stream:
+            return
+        while self._stream_pending:
+            self._consume_one()
+
+    def _consume_one(self):
+        meta, summary = self._stream_pending.popleft()
+        host = np.asarray(summary, dtype=np.float64)  # blocks until landed
+        s = self._stream_mod.unpack_summary(host, self.wc)
+        self.traj.write_back(meta["win_knot0"], s["knots_q"], s["knots_p"],
+                             meta["n_active"])
+        self._mirror_solved_hi = meta["win_knot0"] + meta["n_active"]
+        nb = self.wc.NB
+        # freshest converged biases drive the host dead-reckon
+        self.bg[:] = s["bg"][nb - 1]
+        self.ba[:] = s["ba"][nb - 1]
+        if not self.cfg.fix_ld:
+            self.traj.line_delay = float(
+                np.clip(s["ld"], self.cfg.ld_lower, self.cfg.ld_upper))
+        fids = meta["slot_fids"]
+        if len(fids):
+            self.features.set_depths_by_id(
+                fids, s["dinv"][: len(fids)].astype(np.float32))
+        from types import SimpleNamespace
+
+        self.last_solve_stats = SimpleNamespace(
+            cost0=s["cost0"], cost=s["cost"], accepted=s["accepted"])
+        if meta["marg_old"]:
+            q, p = self.traj.pose(meta["kf0_t_ns"])
+            self.keyframes.append(KeyframePose(meta["kf0_t_ns"], q[0], p[0]))
 
 
 def _empty_image_factors(wc: WindowConfig, dtype) -> ImageFactors:
