@@ -309,6 +309,33 @@ class CtrlVIO:
         self.traj.set_flat(q0, p0, self.traj.dt_ns)
 
     # ------------------------------------------------------------------
+    # image front-end (≙ OdometryManager owning FeatureTrackerNode and
+    # calling it in-process from the replay loop, `odometry_manager.h:70-73`)
+    # ------------------------------------------------------------------
+    def attach_frontend(self, camera, image_shape, tracker_cfg=None):
+        """Attach the KLT front-end so raw images can be fed directly.
+
+        camera: a model from `models.cameras` (lift: pixel -> normalized);
+        image_shape: (H, W); tracker_cfg: frontend.tracker.TrackerConfig."""
+        from ctrlvio_tpu.frontend.tracker import FeatureTracker, TrackerConfig
+
+        self.tracker = FeatureTracker(tracker_cfg or TrackerConfig(),
+                                      camera, image_shape)
+
+    def process_image(self, t_ns: int, img: np.ndarray):
+        """Feed one raw image: CLAHE -> pyramidal KLT -> (optional F-RANSAC)
+        -> undistort -> feature frame -> per-frame estimation. Returns the
+        pose estimate like process_frame, or None for rate-gated frames /
+        pre-init. ≙ ImageMsgHandle -> img_callback -> PerformCtrlVIO."""
+        assert getattr(self, "tracker", None) is not None, \
+            "call attach_frontend(camera, image_shape) first"
+        out = self.tracker.process(int(t_ns), img)
+        if out is None:
+            return None
+        return self.process_frame(out["t_ns"], out["ids"], out["pts"],
+                                  out["rows"])
+
+    # ------------------------------------------------------------------
     # per-frame pipeline
     # ------------------------------------------------------------------
     def process_frame(self, t_ns: int, ids, pts, rows):

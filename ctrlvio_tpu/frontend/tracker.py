@@ -32,6 +32,8 @@ class TrackerConfig:
     use_clahe: bool = True      # ≙ EQUALIZE
     fb_check: bool = True       # ≙ flow_back
     freq: float = 10.0          # publish rate (`cam_tumrs.yaml:25`)
+    reject_wf: bool = False     # ≙ reject_wf (off for TUM-RSVI config)
+    f_threshold: float = 1.0    # ≙ F_THRESHOLD, virtual pixels
     klt: klt.KLTConfig = klt.KLTConfig()
 
 
@@ -50,6 +52,7 @@ class FeatureTracker:
         self.prev_pyr = None
         self._pub_count = 0
         self._first_t_ns = None
+        self._norm_full = None
 
         self._jit_pre = jax.jit(self._preprocess)
         self._jit_track = jax.jit(partial(klt.track, cfg=cfg.klt))
@@ -98,9 +101,40 @@ class FeatureTracker:
 
         if publish:
             self._pub_count += 1
+            if self.cfg.reject_wf:
+                self._reject_with_f()
             self._refill(pyr)
             return self._emit(t_ns)
         return None
+
+    # ------------------------------------------------------------------
+    def _reject_with_f(self):
+        """Epipolar RANSAC outlier gate on surviving tracks
+        (≙ rejectWithF, `feature_tracker.cpp:201-235`; runs only on
+        published frames, like the reference)."""
+        from . import fransac
+
+        live = self.ids >= 0
+        tracked = live & (self.track_cnt > 1)  # has a previous observation
+        if tracked.sum() < 8 or self._norm_full is None:
+            return
+        cur_norm = self._lift_full()
+        prev_norm = self._norm_full
+        idx = np.nonzero(tracked)[0]
+        mask = fransac.reject_with_f(prev_norm[idx], cur_norm[idx],
+                                     thresh_px=self.cfg.f_threshold,
+                                     seed=int(self._pub_count))
+        drop = idx[~mask]
+        self.pts[drop] = -1.0
+        self.ids[drop] = -1
+        self.track_cnt[drop] = 0
+
+    def _lift_full(self) -> np.ndarray:
+        """Normalized coords for ALL slots (fixed shape — one jit variant,
+        no per-live-count recompiles). Dead slots produce garbage values
+        that are never read."""
+        uv = np.where(self.ids[:, None] >= 0, self.pts, 0.0)
+        return np.asarray(self._jit_lift(jnp.asarray(uv, jnp.float64)))
 
     # ------------------------------------------------------------------
     def restart(self):
@@ -112,6 +146,7 @@ class FeatureTracker:
         self.prev_t_ns = None
         self._pub_count = 0
         self._first_t_ns = None
+        self._norm_full = None
 
     # ------------------------------------------------------------------
     def _refill(self, pyr):
@@ -140,9 +175,10 @@ class FeatureTracker:
     # ------------------------------------------------------------------
     def _emit(self, t_ns: int):
         live = self.ids >= 0
+        norm_full = self._lift_full()
         uv = self.pts[live]
         ids = self.ids[live]
-        norm = np.asarray(self._jit_lift(jnp.asarray(uv, jnp.float64)))
+        norm = norm_full[live]
         # velocities in the normalized plane (≙ undistortedPoints velocity)
         vel = np.zeros_like(norm)
         if self.prev_t_ns is not None:
@@ -156,5 +192,6 @@ class FeatureTracker:
         self.prev_t_ns = t_ns
         self.prev_ids = ids.copy()
         self.prev_norm = norm.copy()
+        self._norm_full = norm_full
         return dict(t_ns=t_ns, ids=ids, pts=norm, uv=uv, vel=vel,
                     rows=uv[:, 1])

@@ -68,6 +68,7 @@ def load_config(main_yaml: str) -> Tuple[VIOConfig, object, np.ndarray, np.ndarr
     if cam_yaml:
         cam_d = _load_yaml(os.path.join(config_path, cam_yaml.lstrip("/")))
         cam = cameras.from_yaml_dict(cam_d)
+        d["_camera_dict"] = cam_d  # tracker knobs (max_cnt, freq, ...)
 
     # camera-IMU extrinsics (≙ ParamManager/ExtrinsicParam):
     # main yaml carries T_CtoI / extrinsic rotation+translation

@@ -93,14 +93,23 @@ def replay(seq: Sequence, vio, bootstrap=None):
         vio.set_initial_state(bootstrap.t_ns, bootstrap.q, bootstrap.p,
                               bootstrap.bg, bootstrap.ba, bootstrap.gravity,
                               v0=bootstrap.v)
+    use_images = seq.images is not None and getattr(vio, "tracker", None) \
+        is not None
     for f in range(len(seq.frame_t_ns)):
         t = int(seq.frame_t_ns[f])
         while imu_idx < len(seq.imu_t_ns) and seq.imu_t_ns[imu_idx] <= t:
             vio.process_imu(seq.imu_t_ns[imu_idx], seq.gyro[imu_idx],
                             seq.accel[imu_idx])
             imu_idx += 1
-        r = vio.process_frame(t, seq.feat_ids[f], seq.feat_pts[f],
-                              seq.feat_rows[f])
+        if use_images:
+            # raw-image path: in-process tracker (≙ img_callback from the
+            # bag loop, `odometry_manager.h:70-73`)
+            r = vio.process_image(t, seq.images[f])
+        else:
+            r = vio.process_frame(t, seq.feat_ids[f], seq.feat_pts[f],
+                                  seq.feat_rows[f])
         if r is not None:
             out.append((t, r[0], r[1]))
+    if hasattr(vio, "flush"):
+        vio.flush()
     return out
