@@ -81,3 +81,31 @@ def test_factor_sharded_step_matches_unsharded(problem):
                                np.asarray(p_ref.knots_p), atol=1e-7)
     np.testing.assert_allclose(np.asarray(p_sh.dinv), np.asarray(p_ref.dinv),
                                atol=1e-7)
+
+
+def test_full_sharded_solve_matches_unsharded(problem):
+    """The complete factor-sharded LM (iterations, accept/reject, landmark
+    back-substitution, early termination — all under psum) must reproduce
+    the single-device `lm.solve_window` (f64: bit-level up to psum
+    reduction order)."""
+    cfg, sim, img, imu, bias, params0, kq_gt, kp_gt, aux = problem
+    opts = SolveOptions(max_iters=6)
+    m = mesh_mod.make_mesh(n_seq=1, n_fac=8)
+    solve_sh = sharded_lm.make_sharded_solve(m, cfg, opts)
+    to_j = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    args = (params0, to_j(img), to_j(imu), to_j(bias), aux["prior"],
+            jnp.asarray(aux["fixed"]), aux["ext"], aux["gravity"],
+            aux["imu_info"], aux["sqrt_info_img"])
+    p_sh, st_sh = solve_sh(*args)
+    p_ref, st_ref = lm.solve_window(*args, cfg=cfg, opts=opts)
+
+    assert int(st_sh.accepted) == int(st_ref.accepted)
+    np.testing.assert_allclose(np.asarray(p_sh.knots_p),
+                               np.asarray(p_ref.knots_p), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p_sh.knots_q),
+                               np.asarray(p_ref.knots_q), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p_sh.dinv),
+                               np.asarray(p_ref.dinv), atol=1e-9)
+    np.testing.assert_allclose(float(p_sh.ld), float(p_ref.ld), atol=1e-12)
+    np.testing.assert_allclose(float(st_sh.cost), float(st_ref.cost),
+                               rtol=1e-8)
