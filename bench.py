@@ -31,6 +31,9 @@ def main():
                          "multi-window solve throughput (config-5 analogue)")
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of the replay "
+                         "(open with TensorBoard/xprof)")
     args = ap.parse_args()
 
     if args.mode == "batch":
@@ -89,25 +92,36 @@ def main():
     vio.set_initial_state(init.t_ns, init.q, init.p, init.bg, init.ba,
                           init.gravity, v0=init.v)
 
+    import contextlib
+
+    prof_ctx = contextlib.nullcontext()
+    if args.profile:
+        from ctrlvio_tpu.utils.summary import profile_trace
+
+        prof_ctx = profile_trace()
+
     est, gt = [], []
     frame_times = []
     warmup_frames = 14  # init window + first solves (jit compile)
-    for i, fr in enumerate(sim.frames):
-        t0 = time.perf_counter()
-        out = vio.process_frame(fr.t_ns, fr.ids, fr.pts, fr.rows)
-        dt_frame = time.perf_counter() - t0
-        if out is not None:
-            q, p = out
-            est.append(p)
-            _, p_gt = sim.pose_at(fr.t_ns * 1e-9)
-            gt.append(p_gt)
-        if i == warmup_frames:
-            vio.timing.clear()  # drop compile-time spikes from phase stats
-        if i >= warmup_frames:
-            frame_times.append(dt_frame)
-        if i % 25 == 0:
-            print(f"[bench] frame {i}/{len(sim.frames)} ({dt_frame * 1e3:.0f} ms)",
-                  file=sys.stderr, flush=True)
+    with prof_ctx as logdir:
+        for i, fr in enumerate(sim.frames):
+            t0 = time.perf_counter()
+            out = vio.process_frame(fr.t_ns, fr.ids, fr.pts, fr.rows)
+            dt_frame = time.perf_counter() - t0
+            if out is not None:
+                q, p = out
+                est.append(p)
+                _, p_gt = sim.pose_at(fr.t_ns * 1e-9)
+                gt.append(p_gt)
+            if i == warmup_frames:
+                vio.timing.clear()  # drop compile-time spikes from stats
+            if i >= warmup_frames:
+                frame_times.append(dt_frame)
+            if i % 25 == 0:
+                print(f"[bench] frame {i}/{len(sim.frames)} "
+                      f"({dt_frame * 1e3:.0f} ms)", file=sys.stderr, flush=True)
+    if args.profile:
+        print(f"[bench] profiler trace -> {logdir}", file=sys.stderr)
 
     vio.flush()  # drain in-flight summaries (stream mode)
     est, gt = np.asarray(est), np.asarray(gt)
@@ -127,6 +141,10 @@ def main():
     n_timed = max(len(frame_times), 1)
     phases = {k: round(v / n_timed * 1e3, 1) for k, v in vio.timing.items()}
     print(f"[bench] per-frame phase ms: {phases}", file=sys.stderr)
+    if args.preset == "cpu-smoke":
+        # per-factor-type residual report (≙ the reference's per-solve
+        # ResidualSummary, its de-facto regression signal)
+        print(vio.residual_summary().report(), file=sys.stderr)
 
     per_frame = float(np.median(frame_times))
     fps = 1.0 / per_frame

@@ -89,6 +89,14 @@ class VIOConfig:
     # square-root form. False = classic synchronous per-frame round trips.
     stream: bool = False
     stream_lag: int = 6
+    # IMU capacity policy: "raise" fails loudly when a window holds more
+    # samples than MIMU (the reference uses every sample,
+    # `trajectory_manager.cpp:388-416`); "subsample" opts into uniform
+    # decimation with a warning
+    imu_overflow: str = "raise"
+    # print the per-factor-type residual report after every frame
+    # (≙ ResidualSummary, `trajectory_estimator.cpp:69-95`)
+    debug_residual_summary: bool = False
 
 
 @dataclass
@@ -412,8 +420,65 @@ class CtrlVIO:
             self._slide_window()
             self.timing["slide"] += _time.perf_counter() - t0
 
+        if self.cfg.debug_residual_summary:
+            import sys as _sys
+
+            print(self.residual_summary().report(), file=_sys.stderr)
+
         q, p = self.traj.pose(t_ns)
         return q[0], p[0]
+
+    # ------------------------------------------------------------------
+    def residual_summary(self):
+        """Per-factor-type residual statistics at the current estimate
+        (≙ the reference's per-solve ResidualSummary,
+        `trajectory_estimator.cpp:69-95` — its de-facto regression signal).
+        Re-packs the current window and linearizes at the host-mirror state
+        in f64; diagnostic path, not on the hot loop."""
+        from ctrlvio_tpu.solver import assemble
+        from ctrlvio_tpu.utils.summary import ResidualSummary
+
+        self.flush()
+        wc = self.wc
+        win0 = self.traj.ctrl_idx(self.kf_t_ns[0])
+        kq, kp, _ = self.traj.window(win0, wc.KW, np.float64)
+        if self.use_native:
+            img, dinv0, _ = self.features.pack_image_factors(
+                self.kf_t_ns, self.traj.dt, win0, wc, np.float64)
+        else:
+            img, dinv0, _ = packing.pack_image_factors(
+                list(self.features.tracks.values()), self.kf_t_ns,
+                self.traj.dt, win0, wc, np.float64)
+        imu = packing.pack_imu_factors(
+            self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
+            win0 * int(self.traj.dt_ns), self.traj.max_time_ns, self.traj.dt,
+            win0, wc, np.float64, on_overflow="subsample")
+        bias = packing.bias_sqrt_info(self.imu_t_ns, self.kf_t_ns,
+                                      self.cfg.sigma_bg, self.cfg.sigma_ba,
+                                      wc, np.float64)
+        prior = self.prior
+        if self.cfg.stream and getattr(self, "_dev_state", None) is not None:
+            prior = self._dev_state.prior
+        to64 = lambda t: jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float64)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else np.asarray(x), t)
+        if prior is None:
+            prior = empty_prior(wc, jnp.float64)
+        params = WindowParams(
+            knots_q=jnp.asarray(kq), knots_p=jnp.asarray(kp),
+            bg=jnp.asarray(self.bg, jnp.float64),
+            ba=jnp.asarray(self.ba, jnp.float64),
+            dinv=jnp.asarray(dinv0, jnp.float64),
+            ld=jnp.asarray(self.traj.line_delay, jnp.float64))
+        lin = assemble.linearize(
+            params, _to_j(to64(img)), _to_j(to64(imu)), _to_j(to64(bias)),
+            _to_j(to64(prior)), to64(self._ext),
+            jnp.asarray(self.gravity, jnp.float64),
+            jnp.asarray(np.asarray(self._imu_info), jnp.float64),
+            jnp.asarray(float(self._sqrt_info_img), jnp.float64),
+            wc, self._ba_opts)
+        return ResidualSummary.from_linearization(lin, wc)
 
     # ------------------------------------------------------------------
     def _accumulate_init_frame(self, t_ns, ids, pts, rows):
@@ -491,7 +556,8 @@ class CtrlVIO:
         )
         imu = packing.pack_imu_factors(
             self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
-            t_lo, max_aft_ns, self.traj.dt, self.win_knot0, pc, self.cfg.dtype)
+            t_lo, max_aft_ns, self.traj.dt, self.win_knot0, pc, self.cfg.dtype,
+            on_overflow=self.cfg.imu_overflow)
         img = self._predict_img
         bias = self._predict_bias
 
@@ -575,7 +641,7 @@ class CtrlVIO:
         imu = packing.pack_imu_factors(
             self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
             t_lo, self.traj.max_time_ns, self.traj.dt, self.win_knot0, wc,
-            cfg.dtype)
+            cfg.dtype, on_overflow=cfg.imu_overflow)
         bias = packing.bias_sqrt_info(self.imu_t_ns, self.kf_t_ns, cfg.sigma_bg,
                                       cfg.sigma_ba, wc, cfg.dtype)
         # no knots are hard-fixed (≙ UpdateTrajectory, which never calls
@@ -774,7 +840,7 @@ class CtrlVIO:
         imu = packing.pack_imu_factors(
             self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
             t_lo, self.traj.max_time_ns, self.traj.dt, self.win_knot0, wc,
-            cfg.dtype)
+            cfg.dtype, on_overflow=cfg.imu_overflow)
         bias = packing.bias_sqrt_info(self.imu_t_ns, self.kf_t_ns,
                                       cfg.sigma_bg, cfg.sigma_ba, wc, cfg.dtype)
         fixed = np.ones(wc.KW, bool)

@@ -113,16 +113,29 @@ def pack_image_factors(tracks: Sequence[FeatureTrack], kf_t_ns: np.ndarray,
 def pack_imu_factors(imu_t_ns: np.ndarray, gyro: np.ndarray, accel: np.ndarray,
                      kf_t_ns: np.ndarray, t_min_ns: int, t_max_ns: int,
                      dt: float, win_knot0: int, cfg: WindowConfig,
-                     dtype=np.float32) -> ImuFactors:
+                     dtype=np.float32, on_overflow: str = "raise") -> ImuFactors:
     """Pack IMU samples in [t_min, t_max); bias interval selection
     ≙ `trajectory_manager.cpp:395-414`; marg_drop for t < ts[1]
-    ≙ `trajectory_manager.cpp:239-253`."""
+    ≙ `trajectory_manager.cpp:239-253`.
+
+    The reference uses EVERY sample in the window
+    (`trajectory_manager.cpp:388-416`); exceeding the static capacity
+    therefore fails loudly by default — size MIMU as
+    imu_rate * window_span * margin. on_overflow="subsample" opts into
+    uniform decimation (with a warning) instead."""
     M = cfg.MIMU
     sel = (imu_t_ns >= t_min_ns) & (imu_t_ns < t_max_ns)
     ts = imu_t_ns[sel]
     gy = gyro[sel]
     ac = accel[sel]
     if len(ts) > M:
+        if on_overflow != "subsample":
+            raise RuntimeError(
+                f"IMU factor capacity MIMU={M} exceeded ({len(ts)} samples "
+                f"in window): the estimator would silently lose "
+                f"measurements the reference keeps. Raise WindowConfig.MIMU "
+                f"(>= imu_rate * window_span * 1.25) or set "
+                f"imu_overflow='subsample' to opt into decimation.")
         import logging
 
         logging.getLogger(__name__).warning(
