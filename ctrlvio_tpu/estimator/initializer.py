@@ -165,6 +165,35 @@ class StaticInitializer:
         )
 
 
+class ActiveInitializer:
+    """Orientation-based IMU init (≙ ActiveInitialIMUState,
+    `inertial_initializer.cpp:60-91`): when the IMU stream carries an
+    attitude estimate, gravity-align from it directly — yaw zeroed, biases
+    start at zero. Succeeds on the first sample with a non-identity
+    orientation, so a moving start (where the static init's stillness test
+    never passes) can still bootstrap."""
+
+    def __init__(self, gravity_mag: float = 9.80766):
+        self.g = np.array([0.0, 0.0, gravity_mag])
+
+    def feed(self, t_ns: int, quat_wxyz) -> Optional[InitialState]:
+        q = np.asarray(quat_wxyz, dtype=np.float64)
+        # the reference treats x == 0 as "no attitude in the message"
+        if abs(q[1]) <= 1e-9:
+            return None
+        from ctrlvio_tpu.ops import so3np
+
+        R_I0toG = so3np.quat_to_matrix(q[None])[0]
+        yaw = np.arctan2(R_I0toG[1, 0], R_I0toG[0, 0])
+        cy, sy = np.cos(-yaw), np.sin(-yaw)
+        Rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1.0]])
+        R_I0toG = Rz @ R_I0toG
+        qn = np.asarray(so3.matrix_to_quat(jnp.asarray(R_I0toG)))
+        return InitialState(t_ns=int(t_ns), q=qn, p=np.zeros(3),
+                            bg=np.zeros(3), ba=np.zeros(3),
+                            gravity=self.g.copy())
+
+
 def bootstrap_from_sim(sim, t0_ns: Optional[int] = None) -> InitialState:
     """Ground-truth bootstrap for synthetic sequences (replaces the visual
     SfM init during bench/tests)."""

@@ -243,9 +243,13 @@ class CtrlVIO:
     # ------------------------------------------------------------------
     # ingest
     # ------------------------------------------------------------------
-    def process_imu(self, t_ns: int, gyro, accel):
+    def process_imu(self, t_ns: int, gyro, accel, quat=None):
+        """quat (wxyz, optional): the IMU message's own attitude estimate —
+        enables the active (orientation-based) bootstrap when the static
+        init's stillness test can't pass (≙ `sensor_msgs/Imu.orientation`
+        consumed by ActiveInitialIMUState)."""
         if self.data_start_ns is None and self.cfg.bootstrap != "external":
-            self._boot_feed_imu(int(t_ns), gyro, accel)
+            self._boot_feed_imu(int(t_ns), gyro, accel, quat)
         if self.data_start_ns is not None:
             t_ns = int(t_ns) - self.data_start_ns
         self.imu_t_ns = np.append(self.imu_t_ns, np.int64(t_ns))
@@ -256,14 +260,20 @@ class CtrlVIO:
     # self-bootstrap (≙ the init state machine in ProcessVIOData,
     # `odometry_manager.cpp:178-247`)
     # ------------------------------------------------------------------
-    def _boot_feed_imu(self, t_ns, gyro, accel):
-        from .initializer import StaticInitializer
+    def _boot_feed_imu(self, t_ns, gyro, accel, quat=None):
+        from .initializer import ActiveInitializer, StaticInitializer
 
         if self.cfg.bootstrap == "static":
             if not hasattr(self, "_static_init"):
                 self._static_init = StaticInitializer(
                     excite_threshold=0.5, gravity_mag=self.cfg.gravity_mag)
+                self._active_init = ActiveInitializer(
+                    gravity_mag=self.cfg.gravity_mag)
+            # static first, then the orientation-based fallback
+            # (≙ IMUInitializer::InitialIMUState, inertial_initializer.cpp:49-58)
             st = self._static_init.feed(t_ns, gyro, accel)
+            if st is None and quat is not None:
+                st = self._active_init.feed(t_ns, quat)
             if st is not None:
                 self._pending_init = st
         elif self.cfg.bootstrap == "visual":

@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import jax.numpy as jnp
+import numpy as np
 
 
 @dataclass(frozen=True)
@@ -150,6 +151,72 @@ class Mei:
         return jnp.stack([lam * x / z_safe, lam * y / z_safe], axis=-1)
 
 
+@dataclass(frozen=True)
+class Scaramuzza:
+    """Omnidirectional OCam model (≙ OCAMCamera,
+    `camera_models/ScaramuzzaCamera.{h,cc}`): forward polynomial `poly(φ)`
+    (sensor radius -> ray z, OCamCalib convention, camera looks along -z
+    internally) and inverse polynomial `inv_poly(θ)` (incidence angle ->
+    sensor radius), with the affine sensor transform (c, d; e, 1) + center.
+    """
+
+    poly: tuple       # SCARAMUZZA_POLY_SIZE = 5 coefficients, low order first
+    inv_poly: tuple   # SCARAMUZZA_INV_POLY_SIZE = 20 coefficients
+    c: float = 1.0
+    d: float = 0.0
+    e: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+
+    def project(self, X):
+        """Camera-frame points (..., 3), z forward -> pixels (..., 2)
+        (≙ spaceToPlane, `ScaramuzzaCamera.cc:632-656`)."""
+        x, y, z = X[..., 0], X[..., 1], X[..., 2]
+        norm = jnp.sqrt(x * x + y * y)
+        norm_s = jnp.where(norm > 1e-12, norm, 1e-12)
+        theta = jnp.arctan2(-z, norm)
+        rho = jnp.zeros_like(theta)
+        for k in reversed(self.inv_poly):
+            rho = rho * theta + k
+        xn0 = x / norm_s * rho
+        xn1 = y / norm_s * rho
+        return jnp.stack([xn0 * self.c + xn1 * self.d + self.cx,
+                          xn0 * self.e + xn1 + self.cy], axis=-1)
+
+    def lift(self, uv):
+        """Pixels (..., 2) -> normalized coords (z=1 ray)
+        (≙ liftProjective, `ScaramuzzaCamera.cc:598-622`: the ray is
+        (xc, -poly(φ)) with φ the affine-corrected radius)."""
+        xc0 = uv[..., 0] - self.cx
+        xc1 = uv[..., 1] - self.cy
+        inv_scale = 1.0 / (self.c - self.d * self.e)
+        xa = inv_scale * (xc0 - self.d * xc1)
+        ya = inv_scale * (-self.e * xc0 + self.c * xc1)
+        phi = jnp.sqrt(xa * xa + ya * ya)
+        z = jnp.zeros_like(phi)
+        for k in reversed(self.poly):
+            z = z * phi + k
+        zf = -z  # forward depth along +z
+        zf = jnp.where(jnp.abs(zf) > 1e-9, zf, 1e-9)
+        return jnp.stack([xc0 / zf, xc1 / zf], axis=-1)
+
+
+def fit_inv_poly(poly, rho_max: float, deg: int = 19) -> tuple:
+    """Least-squares fit of the inverse polynomial ρ(θ) from the forward
+    `poly` (the OCamCalib toolbox ships both; calibrations that lack
+    inv_poly can regenerate it with this — numpy, host-side)."""
+    rho = np.linspace(1e-3, rho_max, 2048)
+    z = np.zeros_like(rho)
+    for k in reversed(poly):
+        z = z * rho + k
+    # the lifted ray is (xc, -poly(rho)), so spaceToPlane's incidence angle
+    # theta = atan2(-P_z, |xy|) evaluates to atan2(poly(rho), rho)
+    theta = np.arctan2(z, rho)
+    V = np.stack([theta**i for i in range(deg + 1)], axis=1)
+    coef, *_ = np.linalg.lstsq(V, rho, rcond=None)
+    return tuple(coef.tolist())
+
+
 def from_yaml_dict(d: dict):
     """CameraFactory ≙ `CameraFactory::generateCameraFromYamlFile`: build a
     camera from the reference's OpenCV-FileStorage-style YAML dict."""
@@ -172,4 +239,13 @@ def from_yaml_dict(d: dict):
                    cx=pp["u0"], cy=pp["v0"], k1=dd.get("k1", 0.0),
                    k2=dd.get("k2", 0.0), p1=dd.get("p1", 0.0),
                    p2=dd.get("p2", 0.0))
+    if mt == "SCARAMUZZA":
+        pol = d["poly_parameters"]
+        ipol = d["inv_poly_parameters"]
+        af = d["affine_parameters"]
+        return Scaramuzza(
+            poly=tuple(float(pol[f"p{i}"]) for i in range(5)),
+            inv_poly=tuple(float(ipol[f"p{i}"]) for i in range(20)),
+            c=float(af["ac"]), d=float(af["ad"]), e=float(af["ae"]),
+            cx=float(af["cx"]), cy=float(af["cy"]))
     raise ValueError(f"unknown camera model {mt}")

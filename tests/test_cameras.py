@@ -51,3 +51,44 @@ def test_vmap_jit_project():
     X = rand_points(64, fov=1.0)
     f = jax.jit(KB.project)
     np.testing.assert_allclose(np.asarray(f(X)), np.asarray(KB.project(X)), atol=1e-10)
+
+
+def test_scaramuzza_roundtrip_and_factory():
+    """OCam model (≙ ScaramuzzaCamera.cc): project/lift must round-trip to
+    sub-0.1 px over the field of view; YAML factory parity."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ctrlvio_tpu.models.cameras import Scaramuzza, fit_inv_poly, \
+        from_yaml_dict
+
+    # plausible OCamCalib calibration for a ~640x480 fisheye
+    poly = (-216.9657, 0.0, 1.797e-3, 2.779e-7, 5.05e-10)
+    inv_poly = fit_inv_poly(poly, rho_max=320.0)
+    cam = Scaramuzza(poly=poly, inv_poly=inv_poly, c=1.0005, d=1.2e-4,
+                     e=-0.8e-4, cx=321.5, cy=243.2)
+
+    rng = np.random.default_rng(0)
+    X = np.stack([rng.uniform(-1.2, 1.2, 200), rng.uniform(-0.9, 0.9, 200),
+                  np.ones(200)], axis=1) * rng.uniform(2, 8, (200, 1))
+    uv = np.asarray(cam.project(jnp.asarray(X)))
+    inb = (np.abs(uv[:, 0] - 321.5) < 300) & (np.abs(uv[:, 1] - 243.2) < 230)
+    assert inb.sum() > 100
+    norm = np.asarray(cam.lift(jnp.asarray(uv[inb])))
+    gt_norm = X[inb, :2] / X[inb, 2:3]
+    # angular consistency of the lifted ray
+    np.testing.assert_allclose(norm, gt_norm, atol=2e-3)
+    # pixel round trip: re-project the lifted ray
+    uv2 = np.asarray(cam.project(jnp.asarray(
+        np.concatenate([norm, np.ones((inb.sum(), 1))], axis=1))))
+    assert np.abs(uv2 - uv[inb]).max() < 0.1
+
+    d = dict(
+        model_type="scaramuzza",
+        poly_parameters={f"p{i}": poly[i] for i in range(5)},
+        inv_poly_parameters={f"p{i}": inv_poly[i] for i in range(20)},
+        affine_parameters=dict(ac=1.0005, ad=1.2e-4, ae=-0.8e-4,
+                               cx=321.5, cy=243.2))
+    cam2 = from_yaml_dict(d)
+    uv3 = np.asarray(cam2.project(jnp.asarray(X[inb])))
+    np.testing.assert_allclose(uv3, uv[inb], atol=1e-9)
