@@ -59,7 +59,7 @@ def main():
             jax.config.update("jax_cpu_enable_async_dispatch", True)
         except Exception:
             pass
-        duration = args.duration or 12.0
+        duration = args.duration or 16.0
         dtype = np.float32
 
     import jax.numpy as jnp
@@ -102,7 +102,9 @@ def main():
 
     est, gt = [], []
     frame_times = []
-    warmup_frames = 14  # init window + first solves (jit compile)
+    # timed region starts after the init window, jit compiles, AND the
+    # stream's sync warmup (a one-time precision bootstrap, not throughput)
+    warmup_frames = 14 + (cfg.stream_warmup + 6 if cfg.stream else 0)
     with prof_ctx as logdir:
         for i, fr in enumerate(sim.frames):
             t0 = time.perf_counter()

@@ -89,6 +89,13 @@ class VIOConfig:
     # square-root form. False = classic synchronous per-frame round trips.
     stream: bool = False
     stream_lag: int = 6
+    # frames after init that run the synchronous path (host f64
+    # marginalization) before handing the state + prior to the f32 device
+    # stream: the bootstrap transient carries large residuals (line delay
+    # calibrating from 0, bootstrap scale error) where the f32 sqrt-marg
+    # recursion accumulates bias; past it, f32 is proven. The handoff cost
+    # is ~N x one tunnel RTT, once.
+    stream_warmup: int = 40
     # IMU capacity policy: "raise" fails loudly when a window holds more
     # samples than MIMU (the reference uses every sample,
     # `trajectory_manager.cpp:388-416`); "subsample" opts into uniform
@@ -372,16 +379,17 @@ class CtrlVIO:
 
         import time as _time
 
+        stream_active = False
         if self.cfg.stream:
-            # [0] consume summaries that are due (lagged host mirror update).
-            # The lag ramps up after the bootstrap transient: early frames
-            # carry large solve corrections (line delay calibrating from 0),
-            # so the mirror consumes synchronously first, then the pipeline
-            # opens to `stream_lag` for steady-state throughput.
-            t0 = _time.perf_counter()
             self._stream_frame_no = getattr(self, "_stream_frame_no", 0) + 1
-            lag = min(self.cfg.stream_lag,
-                      max(0, self._stream_frame_no - 20))
+            stream_active = self._stream_frame_no > self.cfg.stream_warmup
+        if stream_active:
+            # [0] consume summaries that are due (lagged host mirror update).
+            # The lag ramps open over the first streamed frames so the
+            # mirror stays fresh right after the warmup handoff.
+            t0 = _time.perf_counter()
+            since = self._stream_frame_no - self.cfg.stream_warmup
+            lag = min(self.cfg.stream_lag, max(0, since - 5))
             n_before = len(self._stream_pending)
             self._consume_summaries(lag)
             if len(self._stream_pending) < n_before:
@@ -413,7 +421,7 @@ class CtrlVIO:
         self.timing["triangulate"] += _time.perf_counter() - t0
 
         # [6-9] full BA + gauge + marginalization + slide
-        if self.cfg.stream:
+        if stream_active:
             t0 = _time.perf_counter()
             self._stream_dispatch(init=False)
             self.timing["dispatch"] += _time.perf_counter() - t0
@@ -519,15 +527,110 @@ class CtrlVIO:
         self.traj.knots_p[: self.traj.n] = kp
         self._extend_and_predict(t_ns, from_start=True)
         self._triangulate()
-        if self.cfg.stream:
-            self._stream_dispatch(init=True)
-            self._slide_window(record_keyframe=False)
-        else:
-            self._solve_window_ba(init=True)
-            self._slide_window()
+        # The first-window BA runs ONCE in f64 on the host CPU regardless of
+        # the solve dtype: a visual bootstrap carries %-level scale/gravity
+        # errors, and from that far out the f32 normal equations stall short
+        # of the basin (measured: bias blow-up ~10 frames later through the
+        # marg-prior feedback), while one f64 solve lands at machine floor.
+        # Steady-state frames start near the solution, where f32 is proven.
+        self._init_solve_f64()
+        self._slide_window()
         self.initialized = True
         q, p = self.traj.pose(t_ns)
         return q[0], p[0]
+
+    # ------------------------------------------------------------------
+    def _init_solve_f64(self):
+        """One-time f64 CPU bootstrap BA + marginalization prior
+        (≙ the first UpdateTrajectory after SetInitialState/InitWindow)."""
+        from ctrlvio_tpu.utils.hostmath import on_cpu
+
+        wc, cfg = self.wc, self.cfg
+        self.win_knot0 = self.traj.ctrl_idx(self.kf_t_ns[0])
+        kq, kp, n_active = self.traj.window(self.win_knot0, wc.KW, np.float64)
+        if self.use_native:
+            img, dinv0, _ = self.features.pack_image_factors(
+                self.kf_t_ns, self.traj.dt, self.win_knot0, wc, np.float64)
+        else:
+            img, dinv0, _ = packing.pack_image_factors(
+                list(self.features.tracks.values()), self.kf_t_ns,
+                self.traj.dt, self.win_knot0, wc, np.float64)
+        t_lo = self.win_knot0 * int(self.traj.dt_ns)
+        imu = packing.pack_imu_factors(
+            self.imu_t_ns, self.imu_gyro, self.imu_accel, self.kf_t_ns,
+            t_lo, self.traj.max_time_ns, self.traj.dt, self.win_knot0, wc,
+            np.float64, on_overflow=cfg.imu_overflow)
+        bias = packing.bias_sqrt_info(self.imu_t_ns, self.kf_t_ns,
+                                      cfg.sigma_bg, cfg.sigma_ba, wc,
+                                      np.float64)
+        fixed = np.ones(wc.KW, bool)
+        fixed[:n_active] = False
+        to64 = lambda t: jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float64)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else np.asarray(x), t)
+        params = WindowParams(
+            knots_q=jnp.asarray(kq), knots_p=jnp.asarray(kp),
+            bg=jnp.asarray(self.bg, jnp.float64),
+            ba=jnp.asarray(self.ba, jnp.float64),
+            dinv=jnp.asarray(dinv0, jnp.float64),
+            ld=jnp.asarray(self.traj.line_delay, jnp.float64))
+        ext64 = F.CamExtrinsics(q_CtoI=jnp.asarray(self.q_CtoI),
+                                p_CinI=jnp.asarray(self.p_CinI))
+        grav64 = jnp.asarray(self.gravity, jnp.float64)
+        info64 = jnp.asarray(np.asarray(self._imu_info), jnp.float64)
+        w64 = jnp.asarray(float(self._sqrt_info_img), jnp.float64)
+        opts = self._init_opts
+        k1 = self.traj.ctrl_idx(self.kf_t_ns[1]) - self.win_knot0
+        drop = np.zeros(wc.KW, bool)
+        drop[:k1] = True
+        with on_cpu():
+            p_out, stats = jax.jit(
+                partial(lm.solve_window, cfg=wc), static_argnames=("opts",))(
+                params, _to_j(to64(img)), _to_j(to64(imu)), _to_j(to64(bias)),
+                empty_prior(wc, jnp.float64), jnp.asarray(fixed), ext64,
+                grav64, info64, w64, opts=opts)
+            q_new, p_new = gauge.restore_gauge(
+                p_out.knots_q, p_out.knots_p, params.knots_q[0],
+                params.knots_p[0], 0, 0)
+            p_out = p_out._replace(knots_q=q_new, knots_p=p_new)
+            prior64 = marginalize.build_prior_sqrt(
+                p_out, _to_j(to64(img)), _to_j(to64(imu)), _to_j(to64(bias)),
+                empty_prior(wc, jnp.float64), jnp.asarray(drop), ext64,
+                grav64, info64, w64, wc, opts._replace(cauchy_c=1.0),
+                knot_shift=jnp.asarray(k1, jnp.int32),
+                bias_shift=jnp.asarray(1, jnp.int32))
+            prior64 = jax.tree_util.tree_map(np.asarray, prior64)
+
+        from types import SimpleNamespace
+
+        self.last_solve_stats = SimpleNamespace(
+            cost0=float(stats.cost0), cost=float(stats.cost),
+            accepted=float(stats.accepted))
+        self.traj.write_back(self.win_knot0, np.asarray(p_out.knots_q),
+                             np.asarray(p_out.knots_p), n_active)
+        self.bg = np.asarray(p_out.bg, np.float64).copy()
+        self.ba = np.asarray(p_out.ba, np.float64).copy()
+        if not cfg.fix_ld:
+            self.traj.line_delay = float(np.clip(
+                p_out.ld, cfg.ld_lower, cfg.ld_upper))
+        dinv_np = np.asarray(p_out.dinv, np.float64)
+        if self.use_native:
+            self.features.set_depths(dinv_np.astype(np.float32))
+        else:
+            # python-table path: depths by current candidates order
+            self.features.set_depths_by_id(
+                self.features.slot_fids(wc.LM), dinv_np[: wc.LM])
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), self.jdt)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else jnp.asarray(np.asarray(x)), t)
+        # numpy f64 seeds the sync/warmup marg chain; the cast copy rides in
+        # sync solves and seeds the device stream state at handoff
+        self._prior_cpu64 = prior64
+        self.prior = cast(prior64)
+        if self.cfg.stream:
+            self._init_prior = cast(prior64)
 
     # ------------------------------------------------------------------
     def _extend_and_predict(self, t_ns: int, from_start: bool = False):
@@ -856,12 +959,18 @@ class CtrlVIO:
         fixed = np.ones(wc.KW, bool)
         fixed[:n_active] = False
 
-        # knot seeds: only knots appended since the last dispatch (the
-        # device already holds the solved interior — fresher than any
-        # lagged host mirror)
+        # knot seeds: only knots appended since the last dispatch. On the
+        # first dispatch (warmup handoff) the HOST mirror is authoritative
+        # and uploads values; afterwards the seeds are dead-reckoned
+        # IN-GRAPH from the device spline end (_extend_inertial) — host
+        # values would chain through the lagged mirror and feed back.
+        host_seeds = self._dev_state is None or init
         seed_mask = np.zeros(wc.KW, bool)
-        lo_rel = 0 if init else max(self._dev_knot_hi - self.win_knot0, 0)
-        seed_mask[lo_rel:n_active] = True
+        lo_rel = 0 if host_seeds else max(self._dev_knot_hi - self.win_knot0, 0)
+        # the in-graph extension also RE-seeds the weakly-constrained tail
+        # (last 3 knots had no image factors yet); widen the mask to match
+        seed_lo = lo_rel if host_seeds else max(lo_rel - 3, 4, 0)
+        seed_mask[seed_lo:n_active] = True
         self._dev_knot_hi = self.win_knot0 + n_active
 
         # landmark slot permutation: current slot -> previous dispatch's
@@ -888,7 +997,8 @@ class CtrlVIO:
         blob = sm.pack_stream_blob(
             img, imu, bias, fixed, kq, kp, seed_mask, perm, dinv0, drop,
             marg_old, knot_shift, (g0i[0], g0f[0]), (g1i[0], g1f[0]),
-            np_dtype)
+            old_hi=lo_rel, new_hi=n_active, host_seeds=host_seeds,
+            dtype=np_dtype)
         self.timing["pack"] += _time.perf_counter() - t0
 
         t0 = _time.perf_counter()
@@ -899,8 +1009,18 @@ class CtrlVIO:
                 bg=jnp.asarray(self.bg, self.jdt),
                 ba=jnp.asarray(self.ba, self.jdt),
                 ld=jnp.asarray(self.traj.line_delay, self.jdt))
-            self._dev_state = sm.DevState(params=p0,
-                                          prior=empty_prior(wc, self.jdt))
+            # warmup handoff: the sync warmup's f64-built (jdt-cast,
+            # post-slide) prior seeds the device chain; with no warmup the
+            # f64 init solve's prior does
+            prior0 = self.prior if self.prior is not None else \
+                getattr(self, "_init_prior", None)
+            if prior0 is None:
+                prior0 = empty_prior(wc, self.jdt)
+            prior0 = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(np.asarray(x), self.jdt)
+                if np.issubdtype(np.asarray(x).dtype, np.floating)
+                else jnp.asarray(np.asarray(x)), prior0)
+            self._dev_state = sm.DevState(params=p0, prior=prior0)
         opts = self._init_opts if init else self._ba_opts
         self._dev_state, summary = self._megastep(
             self._dev_state, blob, self._ext, self._gravity_j,

@@ -56,6 +56,10 @@ class StreamScalars(NamedTuple):
     t0_f: jnp.ndarray
     t1_i0: jnp.ndarray      # ... and kf_t[1]: camera poses for depth handoff
     t1_f: jnp.ndarray
+    old_hi: jnp.ndarray     # int32: window-relative knot count before extend
+    new_hi: jnp.ndarray     # int32: ... and after (n_active)
+    host_seeds: jnp.ndarray  # bool: take knot seeds from the upload (warmup
+    #                          handoff) instead of the in-graph dead-reckon
 
 
 # ---------------------------------------------------------------------------
@@ -67,7 +71,8 @@ class StreamScalars(NamedTuple):
 def pack_stream_blob(img: ImageFactors, imu: ImuFactors, bias: BiasFactors,
                      fixed, seed_q, seed_p, seed_mask, dinv_perm, dinv_seed,
                      drop_knots, marg_old: bool, knot_shift: int,
-                     t0_grid, t1_grid, dtype=np.float32) -> np.ndarray:
+                     t0_grid, t1_grid, old_hi: int = 0, new_hi: int = 0,
+                     host_seeds: bool = True, dtype=np.float32) -> np.ndarray:
     """Host-side: concatenate all per-frame inputs into one flat buffer.
     Integers are float-encoded (all values << 2^24, exact in f32)."""
     parts = []
@@ -83,7 +88,8 @@ def pack_stream_blob(img: ImageFactors, imu: ImuFactors, bias: BiasFactors,
     parts.append(np.asarray(drop_knots, dtype))
     parts.append(np.asarray(
         [1.0 if marg_old else 0.0, knot_shift,
-         t0_grid[0], t0_grid[1], t1_grid[0], t1_grid[1]], dtype))
+         t0_grid[0], t0_grid[1], t1_grid[0], t1_grid[1],
+         old_hi, new_hi, 1.0 if host_seeds else 0.0], dtype))
     return np.concatenate(parts)
 
 
@@ -119,11 +125,13 @@ def unpack_stream_blob(blob, cfg: WindowConfig, dtype):
     dinv_perm = take((LM,), jnp.int32)
     dinv_seed = take((LM,), dtype)
     drop_knots = take((KW,), jnp.bool_)
-    s = take((6,))
+    s = take((9,))
     sc = StreamScalars(
         marg_old=s[0] > 0.5, knot_shift=s[1].astype(jnp.int32),
         t0_i0=s[2].astype(jnp.int32), t0_f=s[3],
-        t1_i0=s[4].astype(jnp.int32), t1_f=s[5])
+        t1_i0=s[4].astype(jnp.int32), t1_f=s[5],
+        old_hi=s[6].astype(jnp.int32), new_hi=s[7].astype(jnp.int32),
+        host_seeds=s[8] > 0.5)
     return img, imu, bias, fixed, seed_q, seed_p, seed_mask, dinv_perm, \
         dinv_seed, drop_knots, sc
 
@@ -185,6 +193,80 @@ def _depth_handoff(p: WindowParams, img: ImageFactors, sc: StreamScalars,
     return jnp.where(apply, 1.0 / d_new, dinv)
 
 
+def _extend_inertial(params: WindowParams, imu: ImuFactors,
+                     sc: StreamScalars, gravity, cfg: WindowConfig):
+    """In-graph dead-reckon seeds for knots appended this frame
+    (≙ ExtendTrajectory + InitTrajectory, `trajectory_manager.cpp:108-120` +
+    `odometry_manager.cpp:268`): integrate the uploaded IMU samples from the
+    device spline's end state and place knot i at the pose of t=(i-1)·dt
+    (the cubic B-spline offset). Seeding from the DEVICE state — not the
+    host mirror — keeps the prediction path lag-free: host-side seeds chain
+    through the lagged mirror and were measured to feed back into
+    divergence."""
+    dtype = params.knots_p.dtype
+    dt = jnp.asarray(cfg.dt, dtype)
+    inv_dt = 1.0 / dt
+    KW = cfg.KW
+
+    # Anchor WELL INSIDE the image-constrained region: the last ~3 knots
+    # before old_hi are only weakly IMU-constrained (no samples beyond the
+    # newest image time), so they are RE-seeded each frame from this solid
+    # anchor — otherwise the tip knot's drift compounds frame-over-frame
+    # (measured: metres within ~25 frames, then divergence once it gains
+    # image factors). ≙ the reference re-running InitTrajectory over the
+    # trajectory tail every frame.
+    re_lo = jnp.maximum(sc.old_hi - 3, 4)
+    i0q = jnp.clip(re_lo - 4, 0, KW - 4)
+    q4 = spline.gather_local(params.knots_q, i0q)
+    p4 = spline.gather_local(params.knots_p, i0q)
+    zero = jnp.asarray(0.0, dtype)
+    q0 = spline.so3_eval(q4, zero)
+    p0 = spline.rd_eval(p4, zero, inv_dt, 0)
+    v0 = spline.rd_eval(p4, zero, inv_dt, 1)
+    bg = params.bg[cfg.NB - 1]
+    ba = params.ba[cfg.NB - 1]
+
+    t0 = i0q.astype(dtype) * dt
+    t_hi = (sc.new_hi - 3).astype(dtype) * dt
+    t_m = (imu.i0.astype(dtype) + imu.u) * dt           # (M,) window-rel
+    in_rng = jnp.logical_and(imu.valid,
+                             jnp.logical_and(t_m > t0, t_m <= t_hi + dt))
+
+    # per-sample step sizes (samples are packed chronologically; the
+    # in-range span is contiguous, so diffs against the previous sample —
+    # clamped at t0 for the first in-range one — are the step sizes)
+    t_prev = jnp.concatenate([t0[None], t_m[:-1]])
+    dts = jnp.where(in_rng,
+                    jnp.clip(t_m - jnp.maximum(t_prev, t0), 0.0, 0.05), 0.0)
+
+    # orientation chain via log-depth prefix products (a 256-step
+    # sequential scan costs ~4 ms on the TPU; this is ~8 fused steps)
+    dq = so3.quat_exp((imu.gyro - bg[None, :]) * dts[:, None])  # (M, 4)
+    chain = jax.lax.associative_scan(so3.quat_mul, dq, axis=0)
+    qs = so3.quat_normalize(so3.quat_mul(q0[None, :], chain))
+    q_prev = jnp.concatenate([q0[None, :], qs[:-1]], axis=0)
+
+    a_w = so3.quat_rotate(q_prev, imu.accel - ba[None, :]) - gravity[None, :]
+    dv = a_w * dts[:, None]
+    vs = v0[None, :] + jnp.cumsum(dv, axis=0)
+    v_prev = jnp.concatenate([v0[None, :], vs[:-1]], axis=0)
+    dp = v_prev * dts[:, None] + 0.5 * a_w * dts[:, None] ** 2
+    ps = p0[None, :] + jnp.cumsum(dp, axis=0)
+
+    # knot i carries the pose at (i-1)*dt: last in-range sample <= query
+    iota = jnp.arange(KW, dtype=jnp.int32)
+    t_q = (iota - 1).astype(dtype) * dt                 # (KW,)
+    m_iota = jnp.arange(cfg.MIMU, dtype=jnp.int32)
+    hit = jnp.logical_and(in_rng[None, :],
+                          t_m[None, :] <= t_q[:, None] + 1e-9)  # (KW, M)
+    idx = jnp.max(jnp.where(hit, m_iota[None, :], -1), axis=1)
+    found = idx >= 0
+    idx = jnp.clip(idx, 0, cfg.MIMU - 1)
+    seed_q = jnp.where(found[:, None], qs[idx], q0[None, :])
+    seed_p = jnp.where(found[:, None], ps[idx], p0[None, :])
+    return seed_q, seed_p
+
+
 # ---------------------------------------------------------------------------
 # the megastep
 # ---------------------------------------------------------------------------
@@ -203,10 +285,16 @@ def megastep(state: DevState, blob, ext, gravity, imu_info, sqrt_info_img,
 
     # ---- merge host uploads into the device window state ----------------
     params = state.params
+    # new-knot seeds: in-graph IMU dead-reckon from the DEVICE spline end
+    # (lag-free); host values only at the warmup handoff, where the mirror
+    # is authoritative
+    dr_q, dr_p = _extend_inertial(params, imu, sc, gravity, cfg)
+    seed_q2 = jnp.where(sc.host_seeds, seed_q, dr_q)
+    seed_p2 = jnp.where(sc.host_seeds, seed_p, dr_p)
     sm = seed_mask[:, None]
     params = params._replace(
-        knots_q=jnp.where(sm, seed_q, params.knots_q),
-        knots_p=jnp.where(sm, seed_p, params.knots_p),
+        knots_q=jnp.where(sm, seed_q2, params.knots_q),
+        knots_p=jnp.where(sm, seed_p2, params.knots_p),
         dinv=jnp.where(
             dinv_perm >= 0,
             params.dinv[jnp.clip(dinv_perm, 0, cfg.LM - 1)], dinv_seed),
@@ -224,8 +312,16 @@ def megastep(state: DevState, blob, ext, gravity, imu_info, sqrt_info_img,
 
     # ---- marginalize + slide (branch: only MARGIN_OLD pays the QR) -------
     def slide_old(_):
+        # the host's marg_drop flag gates on its LAGGED depth estimate; a
+        # landmark whose device depth has since failed (dinv <= 0 or
+        # near-zero) must not be absorbed into the prior — its garbage
+        # linearization would poison every subsequent solve (≙ the
+        # reference's estimated_depth > 0 gate, `trajectory_manager.cpp:
+        # 211-213`, evaluated here against the CURRENT device state)
+        img_m = img._replace(marg_drop=jnp.logical_and(
+            img.marg_drop, p_out.dinv[img.lm_idx] > 1e-4))
         prior_new = marginalize.build_prior_sqrt(
-            p_out, img, imu, bias, state.prior, drop_knots, ext, gravity,
+            p_out, img_m, imu, bias, state.prior, drop_knots, ext, gravity,
             imu_info, sqrt_info_img, cfg, opts._replace(cauchy_c=1.0),
             knot_shift=sc.knot_shift, bias_shift=jnp.asarray(1, jnp.int32))
         dinv_h = _depth_handoff(p_out, img, sc, ext, cfg)

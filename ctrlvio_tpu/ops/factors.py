@@ -90,7 +90,13 @@ def reproj_residual(q4i, p4i, ui, q4j, p4j, uj, inv_dt, pt_i, pt_j, dinv, ext,
     into frame j and compared against pt_j. Math ≙
     `image_feature_factor.h:103-163`:
 
-      x_ci = pt_i / dinv
+      # guard: |dinv| is floored so a landmark crossing zero inverse depth
+    # yields a huge-but-FINITE point (Cauchy squashes it). Without this,
+    # pt_i/0 = inf and the robust weight's 0*inf = NaN poisons the whole
+    # cost, deadlocking the LM accept gate (observed in the lagged stream).
+    dinv = jnp.where(jnp.abs(dinv) < 1e-5,
+                     jnp.where(dinv < 0, -1e-5, 1e-5), dinv)
+    x_ci = pt_i / dinv
       p_Ii = R_CtoI x_ci + p_CinI          (feature in IMU frame i)
       p_G  = R_IitoG p_Ii + p_IiinG        (world)
       x_j  = R_ItoC ( R_GtoIj (p_G - p_IjinG) - p_CinI )
@@ -101,6 +107,12 @@ def reproj_residual(q4i, p4i, ui, q4j, p4j, uj, inv_dt, pt_i, pt_j, dinv, ext,
     q_j = spline.so3_eval(q4j, uj)
     p_j = spline.rd_eval(p4j, uj, inv_dt, 0)
 
+    # guard: |dinv| is floored so a landmark crossing zero inverse depth
+    # yields a huge-but-FINITE point (Cauchy squashes it). Without this,
+    # pt_i/0 = inf and the robust weight's 0*inf = NaN poisons the whole
+    # cost, deadlocking the LM accept gate (observed in the lagged stream).
+    dinv = jnp.where(jnp.abs(dinv) < 1e-5,
+                     jnp.where(dinv < 0, -1e-5, 1e-5), dinv)
     x_ci = pt_i / dinv
     p_Ii = so3.quat_rotate(ext.q_CtoI, x_ci) + ext.p_CinI
     p_G = so3.quat_rotate(q_i, p_Ii) + p_i

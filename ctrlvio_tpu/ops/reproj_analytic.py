@@ -83,6 +83,12 @@ def reproj_analytic(q4i, p4i, q4j, p4j, dinv, ld, fi, fj, shift_i, shift_j,
     R_i = so3.quat_to_matrix(q_i)
     R_j = so3.quat_to_matrix(q_j)
 
+    # guard: |dinv| is floored so a landmark crossing zero inverse depth
+    # yields a huge-but-FINITE point (Cauchy squashes it). Without this,
+    # pt_i/0 = inf and the robust weight's 0*inf = NaN poisons the whole
+    # cost, deadlocking the LM accept gate (observed in the lagged stream).
+    dinv = jnp.where(jnp.abs(dinv) < 1e-5,
+                     jnp.where(dinv < 0, -1e-5, 1e-5), dinv)
     x_ci = pt_i / dinv
     p_Ii = R_CtoI @ x_ci + ext.p_CinI
     p_G = R_i @ p_Ii + p_i

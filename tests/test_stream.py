@@ -24,7 +24,8 @@ def _run(stream: bool, duration=5.0, seed=11, dtype=np.float64):
         duration=duration, n_landmarks=250, seed=seed))
     cfg = VIOConfig(
         window_config=WindowConfig(KW=32, NB=11, LM=192, OBS=768, MIMU=256),
-        fix_ld=False, ld_init=0.0, dtype=dtype, stream=stream, stream_lag=4)
+        fix_ld=False, ld_init=0.0, dtype=dtype, stream=stream, stream_lag=4,
+        stream_warmup=8)  # short warmup: exercise the streamed megastep path
     q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
     vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))
     init = bootstrap_from_sim(sim)
