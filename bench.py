@@ -31,6 +31,9 @@ def main():
                          "multi-window solve throughput (config-5 analogue)")
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--bootstrap", choices=["visual", "gt"], default="visual",
+                    help="visual: full self-bootstrap (SfM + VI alignment, "
+                         "like the reference); gt: ground-truth init")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of the replay "
                          "(open with TensorBoard/xprof)")
@@ -79,6 +82,9 @@ def main():
     cfg = VIOConfig(
         window_config=WindowConfig(KW=32, NB=11, LM=256, OBS=768, MIMU=256),
         fix_ld=False, ld_init=0.0, dtype=dtype,
+        # full self-bootstrap by default: visual SfM + VI alignment (C19),
+        # like the reference's operating mode — no ground-truth leak
+        bootstrap=("visual" if args.bootstrap == "visual" else "external"),
         # device-resident streaming pipeline: zero host sync on the critical
         # path (every sync costs the ~40 ms tunnel RTT); summaries are pulled
         # asynchronously a few frames later for the host mirror
@@ -86,11 +92,16 @@ def main():
     q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
     vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))
 
-    init = bootstrap_from_sim(sim)
-    for k in range(len(sim.imu_t_ns)):
-        vio.process_imu(sim.imu_t_ns[k], sim.gyro[k], sim.accel[k])
-    vio.set_initial_state(init.t_ns, init.q, init.p, init.bg, init.ba,
-                          init.gravity, v0=init.v)
+    if args.bootstrap == "visual":
+        # interleaved feed happens in the frame loop below
+        imu_idx = 0
+    else:
+        init = bootstrap_from_sim(sim)
+        for k in range(len(sim.imu_t_ns)):
+            vio.process_imu(sim.imu_t_ns[k], sim.gyro[k], sim.accel[k])
+        vio.set_initial_state(init.t_ns, init.q, init.p, init.bg, init.ba,
+                              init.gravity, v0=init.v)
+        imu_idx = len(sim.imu_t_ns)
 
     import contextlib
 
@@ -102,22 +113,30 @@ def main():
 
     est, gt = [], []
     frame_times = []
-    # timed region starts after the init window, jit compiles, AND the
+    # the timed region starts after the bootstrap, jit compiles, AND the
     # stream's sync warmup (a one-time precision bootstrap, not throughput)
-    warmup_frames = 14 + (cfg.stream_warmup + 6 if cfg.stream else 0)
+    timed_from = None
     with prof_ctx as logdir:
         for i, fr in enumerate(sim.frames):
+            while imu_idx < len(sim.imu_t_ns) and \
+                    sim.imu_t_ns[imu_idx] <= fr.t_ns:
+                vio.process_imu(sim.imu_t_ns[imu_idx], sim.gyro[imu_idx],
+                                sim.accel[imu_idx])
+                imu_idx += 1
             t0 = time.perf_counter()
             out = vio.process_frame(fr.t_ns, fr.ids, fr.pts, fr.rows)
             dt_frame = time.perf_counter() - t0
             if out is not None:
+                if timed_from is None:
+                    timed_from = i + (cfg.stream_warmup + 8
+                                      if cfg.stream else 4)
                 q, p = out
                 est.append(p)
                 _, p_gt = sim.pose_at(fr.t_ns * 1e-9)
                 gt.append(p_gt)
-            if i == warmup_frames:
+            if timed_from is not None and i == timed_from:
                 vio.timing.clear()  # drop compile-time spikes from stats
-            if i >= warmup_frames:
+            if timed_from is not None and i >= timed_from:
                 frame_times.append(dt_frame)
             if i % 25 == 0:
                 print(f"[bench] frame {i}/{len(sim.frames)} "
