@@ -104,6 +104,13 @@ class VIOConfig:
     # print the per-factor-type residual report after every frame
     # (≙ ResidualSummary, `trajectory_estimator.cpp:69-95`)
     debug_residual_summary: bool = False
+    # reject the bootstrap if the first-window f64 BA can't converge below
+    # this cost (a rolling-shutter-distorted SfM init can pass the SfM
+    # gates yet sit outside the BA's basin); the bootstrap then RESETS and
+    # retries with a later window — ≙ the reference's retry-every-frame
+    # init loop (`vio_initial.cpp:42-56`). Noise-free windows converge to
+    # ~0; a stuck basin plateaus in the thousands.
+    init_max_cost: float = 200.0
 
 
 @dataclass
@@ -366,6 +373,17 @@ class CtrlVIO:
     def process_frame(self, t_ns: int, ids, pts, rows):
         """Feed one feature frame. Returns the current IMU pose estimate
         (q, p) at the frame time, or None before initialization."""
+        if self.cfg.bootstrap != "external" and not self.initialized:
+            # retained for bootstrap retries (absolute times): if the
+            # first-window BA rejects the init, these replay into a fresh
+            # initializer so the retry starts from the newest window
+            from collections import deque
+
+            if not hasattr(self, "_recent_frames"):
+                self._recent_frames = deque(maxlen=self.wc.NB + 4)
+            self._recent_frames.append(
+                (int(t_ns), np.asarray(ids).copy(), np.asarray(pts).copy(),
+                 np.asarray(rows).copy()))
         if self.data_start_ns is None and self.cfg.bootstrap != "external":
             if not self._boot_feed_frame(int(t_ns), ids, pts):
                 return None
@@ -534,10 +552,65 @@ class CtrlVIO:
         # marg-prior feedback), while one f64 solve lands at machine floor.
         # Steady-state frames start near the solution, where f32 is proven.
         self._init_solve_f64()
+        if (self.cfg.bootstrap != "external"
+                and self.last_solve_stats.cost > self.cfg.init_max_cost):
+            # the window BA could not converge (RS-distorted SfM init
+            # outside the basin): reject and retry with a later window
+            import sys as _sys
+
+            print(f"[ctrlvio] bootstrap rejected (init BA cost "
+                  f"{self.last_solve_stats.cost:.1f} > "
+                  f"{self.cfg.init_max_cost}); retrying with a later window",
+                  file=_sys.stderr)
+            self._reset_bootstrap()
+            return None
         self._slide_window()
         self.initialized = True
         q, p = self.traj.pose(t_ns)
         return q[0], p[0]
+
+    # ------------------------------------------------------------------
+    def _reset_bootstrap(self):
+        """Roll back a rejected initialization and re-arm the bootstrap
+        (≙ the reference's init retrying every frame until success,
+        `vio_initial.cpp:42-56`). Buffered IMU and the recent feature
+        frames replay into a fresh initializer so the retry uses the
+        newest window."""
+        shift = self.data_start_ns
+        self.data_start_ns = None
+        self.imu_t_ns = self.imu_t_ns + shift  # back to absolute time
+        self.frame_count = 0
+        self.kf_t_ns[:] = 0
+        self.bg[:] = 0.0
+        self.ba[:] = 0.0
+        self.prior = None
+        self._prior_cpu64 = None
+        self._init_prior = None
+        self._stream_frame_no = 0
+        self._dev_knot_hi = 0
+        self.traj = Trajectory(self.cfg.knot_dt, self.cfg.ld_init,
+                               self.cfg.fix_ld, self.cfg.ld_lower,
+                               self.cfg.ld_upper)
+        from . import native as native_mod
+
+        if self.use_native:
+            self.features = native_mod.NativeFeatureTable(
+                self.wc.NB - 1, self.cfg.min_parallax)
+        else:
+            self.features = FeatureTable(self.wc.NB - 1, self.cfg.min_parallax)
+        # fresh initializer, re-fed from the buffers
+        for attr in ("_vio_init", "_static_init", "_pending_init"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        if self.cfg.bootstrap == "visual":
+            for k in range(len(self.imu_t_ns)):
+                self._boot_feed_imu(int(self.imu_t_ns[k]), self.imu_gyro[k],
+                                    self.imu_accel[k])
+            for (t_abs, ids, pts, rows) in list(
+                    getattr(self, "_recent_frames", [])):
+                if self.data_start_ns is not None:
+                    break  # a replayed window already re-initialized
+                self._boot_feed_frame(t_abs, ids, pts)
 
     # ------------------------------------------------------------------
     def _init_solve_f64(self):
