@@ -441,7 +441,7 @@ class CtrlVIO:
         # [6-9] full BA + gauge + marginalization + slide
         if stream_active:
             t0 = _time.perf_counter()
-            self._stream_dispatch(init=False)
+            self._stream_dispatch()
             self.timing["dispatch"] += _time.perf_counter() - t0
             t0 = _time.perf_counter()
             self._slide_window(record_keyframe=False)
@@ -996,7 +996,7 @@ class CtrlVIO:
     # ------------------------------------------------------------------
     # streaming pipeline (device-resident state; see estimator/stream.py)
     # ------------------------------------------------------------------
-    def _stream_dispatch(self, init: bool = False):
+    def _stream_dispatch(self):
         """Pack this frame's feed-forward inputs into one blob and chain the
         device megastep — no host synchronization. ≙ steps [6-9] of the
         per-frame pipeline, executed device-side."""
@@ -1037,7 +1037,7 @@ class CtrlVIO:
         # and uploads values; afterwards the seeds are dead-reckoned
         # IN-GRAPH from the device spline end (_extend_inertial) — host
         # values would chain through the lagged mirror and feed back.
-        host_seeds = self._dev_state is None or init
+        host_seeds = self._dev_state is None  # warmup handoff
         seed_mask = np.zeros(wc.KW, bool)
         lo_rel = 0 if host_seeds else max(self._dev_knot_hi - self.win_knot0, 0)
         # the in-graph extension also RE-seeds the weakly-constrained tail
@@ -1050,7 +1050,7 @@ class CtrlVIO:
         # slot (device dinv is authoritative for persisting landmarks;
         # fresh slots take the host seed)
         perm = np.full(wc.LM, -1, np.int32)
-        if not init:
+        if not host_seeds:
             prev = self._prev_slot_fids
             for i, fid in enumerate(slot_fids):
                 perm[i] = prev.get(int(fid), -1)
@@ -1094,10 +1094,9 @@ class CtrlVIO:
                 if np.issubdtype(np.asarray(x).dtype, np.floating)
                 else jnp.asarray(np.asarray(x)), prior0)
             self._dev_state = sm.DevState(params=p0, prior=prior0)
-        opts = self._init_opts if init else self._ba_opts
         self._dev_state, summary = self._megastep(
             self._dev_state, blob, self._ext, self._gravity_j,
-            self._imu_info, self._sqrt_info_img, opts=opts)
+            self._imu_info, self._sqrt_info_img, opts=self._ba_opts)
         try:
             summary.copy_to_host_async()
         except Exception:
