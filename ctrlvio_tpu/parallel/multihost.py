@@ -1,0 +1,113 @@
+"""Multi-host (DCN) validation harness.
+
+The reference has no distributed layer at all (SURVEY §2.2); the TPU-native
+equivalent is `jax.distributed` + a mesh spanning hosts, with the same
+`seq`/`fac` shardings — collectives ride ICI within a host and DCN across
+hosts. Real pods are unavailable in this environment, so this harness runs
+the REAL multi-process path on CPU: N python processes, each a "host" with
+its own local devices, coordinated by `jax.distributed.initialize`, solving
+a globally-sharded batch of windows with `ctrlvio_tpu.parallel.batch`.
+
+Run directly (spawns workers):
+
+    python -m ctrlvio_tpu.parallel.multihost --processes 2 --local-devices 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+
+def worker(process_id: int, num_processes: int, local_devices: int,
+           coordinator: str) -> None:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={local_devices}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as g
+    from ctrlvio_tpu.parallel import batch, mesh as mesh_mod
+    from ctrlvio_tpu.solver.layout import SolveOptions
+
+    devices = jax.devices()  # GLOBAL device list across processes
+    n_global = num_processes * local_devices
+    assert len(devices) == n_global, (len(devices), n_global)
+
+    cfg, params, img, imu, bias, fixed, aux, prior = g._tiny_problem(
+        np.float32)
+    ext, gravity, imu_info, sqrt_info_img = aux
+    opts = SolveOptions(max_iters=2)
+    mesh = mesh_mod.make_mesh(n_seq=n_global, n_fac=1, devices=devices)
+
+    B = n_global
+    stack = lambda tree: jax.tree_util.tree_map(
+        lambda x: jnp.stack([jnp.asarray(x)] * B), tree)
+    solve_b = batch.make_batched_solver(mesh, cfg, opts)
+    out, stats = solve_b(stack(params), stack(img), stack(imu), stack(bias),
+                         stack(prior), stack(fixed), ext, gravity, imu_info,
+                         sqrt_info_img)
+    jax.block_until_ready(out)
+    # the batch axis spans processes: gather before reading (host-local
+    # reads of non-addressable shards are illegal in multi-process jax)
+    from jax.experimental import multihost_utils
+
+    c0 = float(np.asarray(multihost_utils.process_allgather(
+        stats.cost0, tiled=True))[0])
+    c1 = float(np.asarray(multihost_utils.process_allgather(
+        stats.cost, tiled=True))[0])
+    assert c1 < c0, (c0, c1)
+    if process_id == 0:
+        print(f"[multihost] {num_processes} processes x {local_devices} "
+              f"devices: global mesh {dict(mesh.shape)}, B={B} "
+              f"cost {c0:.3e} -> {c1:.3e} OK", flush=True)
+    jax.distributed.shutdown()
+
+
+def launch(num_processes: int = 2, local_devices: int = 4,
+           port: int = 39713, timeout: float = 600.0) -> None:
+    """Spawn the worker processes and wait for success."""
+    coordinator = f"localhost:{port}"
+    procs = []
+    env = dict(os.environ)
+    for pid in range(num_processes):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "ctrlvio_tpu.parallel.multihost",
+             "--worker", str(pid), "--processes", str(num_processes),
+             "--local-devices", str(local_devices),
+             "--coordinator", coordinator],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    out0 = procs[0].communicate(timeout=timeout)[0].decode()
+    codes = [out0] and [p.wait(timeout=timeout) for p in procs]
+    print(out0)
+    if any(codes):
+        raise RuntimeError(f"multihost workers failed: {codes}\n{out0}")
+    if "[multihost]" not in out0:
+        raise RuntimeError(f"no success line from process 0:\n{out0}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--processes", type=int, default=2)
+    ap.add_argument("--local-devices", type=int, default=4)
+    ap.add_argument("--coordinator", default="localhost:39713")
+    args = ap.parse_args(argv)
+    if args.worker is None:
+        launch(args.processes, args.local_devices)
+    else:
+        worker(args.worker, args.processes, args.local_devices,
+               args.coordinator)
+
+
+if __name__ == "__main__":
+    main()
