@@ -32,6 +32,7 @@ class TrackerConfig:
     use_clahe: bool = True      # ≙ EQUALIZE
     fb_check: bool = True       # ≙ flow_back
     freq: float = 10.0          # publish rate (`cam_tumrs.yaml:25`)
+    use_pallas: bool = False    # full-res LK levels via the Mosaic kernel
     reject_wf: bool = False     # ≙ reject_wf (off for TUM-RSVI config)
     f_threshold: float = 1.0    # ≙ F_THRESHOLD, virtual pixels
     klt: klt.KLTConfig = klt.KLTConfig()
@@ -55,7 +56,8 @@ class FeatureTracker:
         self._norm_full = None
 
         self._jit_pre = jax.jit(self._preprocess)
-        self._jit_track = jax.jit(partial(klt.track, cfg=cfg.klt))
+        self._jit_track = jax.jit(
+            partial(klt.track, cfg=cfg.klt, use_pallas=cfg.use_pallas))
         self._jit_detect = jax.jit(
             partial(corners.detect, max_corners=cfg.max_cnt,
                     min_dist=cfg.min_dist))
