@@ -1037,7 +1037,9 @@ class CtrlVIO:
         # and uploads values; afterwards the seeds are dead-reckoned
         # IN-GRAPH from the device spline end (_extend_inertial) — host
         # values would chain through the lagged mirror and feed back.
-        host_seeds = self._dev_state is None  # warmup handoff
+        hooked = getattr(self, "_dispatch_hook", None) is not None
+        host_seeds = (not getattr(self, "_dev_dispatched", False)) if hooked \
+            else self._dev_state is None  # warmup handoff
         seed_mask = np.zeros(wc.KW, bool)
         lo_rel = 0 if host_seeds else max(self._dev_knot_hi - self.win_knot0, 0)
         # the in-graph extension also RE-seeds the weakly-constrained tail
@@ -1074,26 +1076,22 @@ class CtrlVIO:
             dtype=np_dtype)
         self.timing["pack"] += _time.perf_counter() - t0
 
+        meta = dict(win_knot0=self.win_knot0, n_active=n_active,
+                    kf0_t_ns=int(self.kf_t_ns[0]), marg_old=marg_old,
+                    slot_fids=slot_fids)
+        if hooked:
+            # batched-serving coordinator: it owns the stacked device state
+            # and runs ONE vmapped megastep for all sequences in lockstep
+            self._dev_dispatched = True
+            self._dispatch_hook(self, blob, host_seeds, meta)
+            return
+
         t0 = _time.perf_counter()
         if self._dev_state is None:
-            from ctrlvio_tpu.solver.layout import empty_params
-
-            p0 = empty_params(wc, self.jdt)._replace(
-                bg=jnp.asarray(self.bg, self.jdt),
-                ba=jnp.asarray(self.ba, self.jdt),
-                ld=jnp.asarray(self.traj.line_delay, self.jdt))
             # warmup handoff: the sync warmup's f64-built (jdt-cast,
             # post-slide) prior seeds the device chain; with no warmup the
             # f64 init solve's prior does
-            prior0 = self.prior if self.prior is not None else \
-                getattr(self, "_init_prior", None)
-            if prior0 is None:
-                prior0 = empty_prior(wc, self.jdt)
-            prior0 = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(np.asarray(x), self.jdt)
-                if np.issubdtype(np.asarray(x).dtype, np.floating)
-                else jnp.asarray(np.asarray(x)), prior0)
-            self._dev_state = sm.DevState(params=p0, prior=prior0)
+            self._dev_state = self._initial_dev_state()
         self._dev_state, summary = self._megastep(
             self._dev_state, blob, self._ext, self._gravity_j,
             self._imu_info, self._sqrt_info_img, opts=self._ba_opts)
@@ -1101,11 +1099,37 @@ class CtrlVIO:
             summary.copy_to_host_async()
         except Exception:
             pass
-        self._stream_pending.append((dict(
-            win_knot0=self.win_knot0, n_active=n_active,
-            kf0_t_ns=int(self.kf_t_ns[0]), marg_old=marg_old,
-            slot_fids=slot_fids), summary))
+        self._stream_pending.append((meta, summary))
         self.timing["dispatch_jit"] += _time.perf_counter() - t0
+
+    def _initial_dev_state(self):
+        """Initial device-resident state for the first dispatch (also used
+        by the batched-serving coordinator to build its stacked state)."""
+        from ctrlvio_tpu.solver.layout import empty_params
+
+        wc = self.wc
+        p0 = empty_params(wc, self.jdt)._replace(
+            bg=jnp.asarray(self.bg, self.jdt),
+            ba=jnp.asarray(self.ba, self.jdt),
+            ld=jnp.asarray(self.traj.line_delay, self.jdt))
+        prior0 = self.prior if self.prior is not None else \
+            getattr(self, "_init_prior", None)
+        if prior0 is None:
+            prior0 = empty_prior(wc, self.jdt)
+        prior0 = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), self.jdt)
+            if np.issubdtype(np.asarray(x).dtype, np.floating)
+            else jnp.asarray(np.asarray(x)), prior0)
+        return self._stream_mod.DevState(params=p0, prior=prior0)
+
+    def _stream_complete(self, summary, meta):
+        """Batched-serving path: the coordinator hands back this
+        sequence's summary slice of the vmapped megastep."""
+        try:
+            summary.copy_to_host_async()
+        except Exception:
+            pass
+        self._stream_pending.append((meta, summary))
 
     def _consume_summaries(self, max_pending: int):
         while self._stream_pending and len(self._stream_pending) > max_pending:
