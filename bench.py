@@ -26,9 +26,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=["tpu", "cpu-smoke"], default="tpu")
-    ap.add_argument("--mode", choices=["e2e", "batch"], default="e2e",
+    ap.add_argument("--mode", choices=["e2e", "batch", "serve"], default="e2e",
                     help="e2e: sequential replay fps; batch: batched "
-                         "multi-window solve throughput (config-5 analogue)")
+                         "multi-window solve throughput; serve: B full "
+                         "estimators streaming in lockstep through one "
+                         "vmapped megastep (config 5)")
+    ap.add_argument("--batch-size", type=int, default=8,
+                    help="sequences per chip for --mode serve")
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--bootstrap", choices=["visual", "gt"], default="visual",
@@ -41,6 +45,9 @@ def main():
 
     if args.mode == "batch":
         bench_batch(args)
+        return
+    if args.mode == "serve":
+        bench_serve(args)
         return
 
     if args.preset == "cpu-smoke":
@@ -177,6 +184,92 @@ def main():
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 10.0, 2),
+    }))
+
+
+def bench_serve(args):
+    """Batched multi-sequence streaming replay: B full estimators on one
+    chip through a single vmapped megastep (the serving deployment shape)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ctrlvio_tpu.estimator.initializer import bootstrap_from_sim
+    from ctrlvio_tpu.estimator.odometry import CtrlVIO, VIOConfig
+    from ctrlvio_tpu.ops import so3
+    from ctrlvio_tpu.parallel.stream_batch import BatchedStream
+    from ctrlvio_tpu.sim import synthetic
+    from ctrlvio_tpu.solver.layout import WindowConfig
+    from ctrlvio_tpu.utils.ate import ate_rmse
+
+    if args.preset == "cpu-smoke":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_cpu_enable_async_dispatch", True)
+    except Exception:
+        pass
+    B = args.batch_size
+    duration = args.duration or 12.0
+    warmup = 12  # GT bootstrap: short precision warmup suffices
+
+    sims = [synthetic.generate(synthetic.SimConfig(
+        duration=duration, n_landmarks=300, seed=args.seed + i))
+        for i in range(B)]
+    n_frames = min(len(s.frames) for s in sims)
+    vios = []
+    for sim in sims:
+        cfg = VIOConfig(
+            window_config=WindowConfig(KW=32, NB=11, LM=256, OBS=768,
+                                       MIMU=256),
+            fix_ld=False, ld_init=0.0, dtype=np.float32, stream=True,
+            stream_warmup=warmup)
+        q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(
+            sim.cfg.ext_rot))))
+        vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))
+        init = bootstrap_from_sim(sim)
+        for k in range(len(sim.imu_t_ns)):
+            vio.process_imu(sim.imu_t_ns[k], sim.gyro[k], sim.accel[k])
+        vio.set_initial_state(init.t_ns, init.q, init.p, init.bg, init.ba,
+                              init.gravity, v0=init.v)
+        vios.append(vio)
+    coord = BatchedStream(vios)
+
+    timed_from = 11 + warmup + 8
+    times = []
+    for k in range(n_frames):
+        t0 = time.perf_counter()
+        coord.step([(s.frames[k].t_ns, s.frames[k].ids, s.frames[k].pts,
+                     s.frames[k].rows) for s in sims])
+        if k >= timed_from:
+            times.append(time.perf_counter() - t0)
+        if k % 25 == 0:
+            print(f"[bench-serve] frame {k}/{n_frames}", file=sys.stderr,
+                  flush=True)
+    coord.flush()
+
+    # accuracy gates per lane
+    for vio, sim in zip(vios, sims):
+        t_eval = [f.t_ns for f in sim.frames[timed_from + 6 : n_frames]]
+        est = np.stack([vio.traj.pose(t)[1][0] for t in t_eval])
+        gt = np.stack([sim.pose_at(t * 1e-9)[1] for t in t_eval])
+        err = ate_rmse(est, gt, align="yaw")
+        ld_err = abs(vio.traj.line_delay - sim.cfg.line_delay)
+        if err > 0.10 or ld_err > 5e-6:
+            print(f"[bench-serve] FAIL lane accuracy (ATE {err:.3f} m, "
+                  f"ld_err {ld_err * 1e6:.2f} us)", file=sys.stderr)
+            sys.exit(1)
+    per_step = float(np.median(times))
+    agg = B / per_step
+    print(f"[bench-serve] B={B}: {per_step * 1e3:.1f} ms/lockstep frame -> "
+          f"{agg:.1f} aggregate frames/s ({agg / 10.0:.1f}x realtime "
+          f"sequences per chip)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "served_frames_per_sec_per_chip",
+        "value": round(agg, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(agg / 10.0, 2),
     }))
 
 
