@@ -25,6 +25,10 @@ class KLTConfig(NamedTuple):
     iters: int = 10        # LK iterations per level
     min_eig: float = 1e-4  # min eigenvalue threshold on G (normalized)
     fb_thresh: float = 0.5  # forward-backward distance gate (≙ FB_THRESHOLD)
+    pred_levels: int = 2   # levels used when an initial flow is given: the
+    #                        prediction already absorbs the large motion, and
+    #                        coarse levels (where fine texture aliases away)
+    #                        can only drag a good guess off target
 
 
 def pyramid(img, levels: int):
@@ -101,7 +105,7 @@ def _track_level(img_prev, img_cur, pt_prev, guess, cfg: KLTConfig):
 
 
 def track(pyr_prev, pyr_cur, pts, cfg: KLTConfig = KLTConfig(),
-          use_pallas: bool = False):
+          use_pallas: bool = False, init=None):
     """Track pts (N, 2) from prev to cur. Returns (pts_cur (N,2), ok (N,)).
 
     Coarse-to-fine with forward-backward verification
@@ -109,15 +113,23 @@ def track(pyr_prev, pyr_cur, pts, cfg: KLTConfig = KLTConfig(),
     full-resolution levels run the Mosaic kernel
     (`ops/pallas/lk_kernel.py` — 256 features in ~0.1 ms on a v5e);
     levels smaller than the kernel's DMA window use the vmapped JAX path.
+
+    init (N, 2), optional: initial guess of the tracked positions (e.g. a
+    gyro-predicted flow, `frontend/fused.py::rotation_flow`), ≙ OpenCV's
+    OPTFLOW_USE_INITIAL_FLOW. The backward pass always starts from the
+    original pts — with prediction, FB verification stays meaningful for
+    displacements far beyond the pyramid's unaided convergence range.
     """
     H, W = pyr_prev[0].shape
-    L = len(pyr_prev)
+    L = len(pyr_prev) if init is None else min(len(pyr_prev),
+                                               max(cfg.pred_levels, 1))
+    pyr_prev, pyr_cur = pyr_prev[:L], pyr_cur[:L]
 
-    def fwd(pyrs_a, pyrs_b, p0):
+    def fwd(pyrs_a, pyrs_b, p0, g0):
         if use_pallas:
             from ctrlvio_tpu.ops.pallas import lk_kernel
 
-            g = p0 / (2 ** (L - 1))
+            g = g0 / (2 ** (L - 1))
             eig = jnp.zeros((p0.shape[0],), dtype=p0.dtype)
             for lev in range(L - 1, -1, -1):
                 pl_pts = p0 / (2**lev)
@@ -133,8 +145,8 @@ def track(pyr_prev, pyr_cur, pts, cfg: KLTConfig = KLTConfig(),
                     g = g * 2.0
             return g, eig
 
-        def one(pt):
-            g = pt / (2 ** (L - 1))
+        def one(pt, gi):
+            g = gi / (2 ** (L - 1))
             me_last = jnp.asarray(0.0, dtype=pt.dtype)
             for lev in range(L - 1, -1, -1):
                 pl = pt / (2**lev)
@@ -143,10 +155,10 @@ def track(pyr_prev, pyr_cur, pts, cfg: KLTConfig = KLTConfig(),
                     g = g * 2.0
             return g, me_last
 
-        return jax.vmap(one)(p0)
+        return jax.vmap(one)(p0, g0)
 
-    pts_cur, eig = fwd(pyr_prev, pyr_cur, pts)
-    pts_back, _ = fwd(pyr_cur, pyr_prev, pts_cur)
+    pts_cur, eig = fwd(pyr_prev, pyr_cur, pts, pts if init is None else init)
+    pts_back, _ = fwd(pyr_cur, pyr_prev, pts_cur, pts)
 
     fb = jnp.linalg.norm(pts_back - pts, axis=-1)
     inb = ((pts_cur[:, 0] >= 1.0) & (pts_cur[:, 0] < W - 1.0)
