@@ -17,20 +17,127 @@ number can't silently come from a diverged run.
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+# The remote axon TPU tunnel occasionally wedges: backend init raises
+# UNAVAILABLE or trivial ops hang for minutes (this killed round 2's bench,
+# BENCH_r02.json rc=1). The bench therefore runs as a SUPERVISOR by default:
+# it probes the backend with a 1-op subprocess under a hard timeout, backs
+# off and retries for up to ~10 minutes, then runs the real bench in a child
+# process (retried on crash/hang). If the tunnel never comes up it emits a
+# structured JSON failure record instead of a raw traceback.
+PROBE_BUDGET_S = 600.0  # total wall-clock spent waiting for the backend
+PROBE_TIMEOUT_S = 150.0  # one probe attempt (first compile can take ~40 s)
+CHILD_TIMEOUT_S = 2400.0  # one full bench attempt
+CHILD_ATTEMPTS = 3
+
+_PROBE_SRC = """
+import jax, jax.numpy as jnp
+x = (jnp.ones((128, 128)) @ jnp.ones((128, 128))).sum()
+assert float(x) == 128.0 * 128 * 128
+print("PROBE_OK", jax.default_backend())
+"""
+
+
+def probe_backend(budget_s=PROBE_BUDGET_S):
+    """Check the TPU backend answers a trivial op, retrying with backoff.
+
+    Returns True once a probe subprocess succeeds, False if the backend
+    stayed unavailable for the whole budget."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    t0 = time.monotonic()
+    delays = [0, 15, 30, 60, 120, 240, 240, 240]
+    for i, delay in enumerate(delays):
+        if delay:
+            print(f"[bench] backend unavailable; retrying in {delay}s "
+                  f"(elapsed {time.monotonic() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+            time.sleep(delay)
+        if time.monotonic() - t0 > budget_s:
+            break
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC], cwd=here,
+                timeout=PROBE_TIMEOUT_S, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            print(f"[bench] probe {i} HUNG (> {PROBE_TIMEOUT_S:.0f}s) — "
+                  "tunnel wedged", file=sys.stderr, flush=True)
+            continue
+        if r.returncode == 0 and "PROBE_OK" in r.stdout:
+            print(f"[bench] probe {i} ok: {r.stdout.strip()}",
+                  file=sys.stderr, flush=True)
+            return True
+        tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        print(f"[bench] probe {i} failed rc={r.returncode}: {tail}",
+              file=sys.stderr, flush=True)
+    return False
+
+
+def supervise(args, metric):
+    """Probe the backend, then run this script as a child with the same
+    argv (plus CTRLVIO_BENCH_CHILD=1) under a timeout, retrying on
+    crash/hang. Prints the child's final JSON line, or a structured
+    failure record — never dies with a bare backend traceback."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, CTRLVIO_BENCH_CHILD="1")
+    last_err = "unknown"
+    for attempt in range(CHILD_ATTEMPTS):
+        if not probe_backend():
+            last_err = "axon TPU backend unavailable (probe budget exhausted)"
+            continue
+        try:
+            # child stderr passes through live; stdout (the JSON line) is
+            # captured so the supervisor controls what the driver parses
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                cwd=here, env=env, timeout=CHILD_TIMEOUT_S,
+                stdout=subprocess.PIPE, text=True)
+        except subprocess.TimeoutExpired:
+            last_err = f"bench child hung > {CHILD_TIMEOUT_S:.0f}s"
+            print(f"[bench] attempt {attempt}: {last_err}", file=sys.stderr,
+                  flush=True)
+            continue
+        line = next((ln for ln in reversed((r.stdout or "").splitlines())
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line, flush=True)
+            return
+        last_err = f"bench child rc={r.returncode}"
+        print(f"[bench] attempt {attempt} failed: {last_err}",
+              file=sys.stderr, flush=True)
+    # structured failure record: value 0 marks 'no measurement', the error
+    # field says why — the round's evidence survives a wedged tunnel
+    print(json.dumps({
+        "metric": metric, "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+        "error": last_err,
+    }), flush=True)
+    sys.exit(0)
+
+
+METRIC_BY_MODE = {
+    "e2e": "frames_per_sec_per_chip",
+    "image": "image_frames_per_sec_per_chip",
+    "batch": "batched_window_solves_per_sec",
+    "serve": "served_frames_per_sec_per_chip",
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", choices=["tpu", "cpu-smoke"], default="tpu")
-    ap.add_argument("--mode", choices=["e2e", "batch", "serve"], default="e2e",
-                    help="e2e: sequential replay fps; batch: batched "
-                         "multi-window solve throughput; serve: B full "
-                         "estimators streaming in lockstep through one "
-                         "vmapped megastep (config 5)")
+    ap.add_argument("--mode", choices=["e2e", "image", "batch", "serve"],
+                    default="e2e",
+                    help="e2e: sequential replay fps; image: replay from "
+                         "rendered 1280x1024 rolling-shutter imagery "
+                         "(CLAHE+KLT front-end included in the fps); "
+                         "batch: batched multi-window solve throughput; "
+                         "serve: B full estimators streaming in lockstep "
+                         "through one vmapped megastep")
     ap.add_argument("--batch-size", type=int, default=8,
                     help="sequences per chip for --mode serve")
     ap.add_argument("--duration", type=float, default=None)
@@ -43,11 +150,19 @@ def main():
                          "(open with TensorBoard/xprof)")
     args = ap.parse_args()
 
+    # cpu-smoke never touches the tunnel; TPU runs go through the supervisor
+    if args.preset == "tpu" and not os.environ.get("CTRLVIO_BENCH_CHILD"):
+        supervise(args, METRIC_BY_MODE[args.mode])
+        return
+
     if args.mode == "batch":
         bench_batch(args)
         return
     if args.mode == "serve":
         bench_serve(args)
+        return
+    if args.mode == "image":
+        bench_image(args)
         return
 
     if args.preset == "cpu-smoke":
@@ -187,6 +302,155 @@ def main():
     }))
 
 
+def bench_image(args):
+    """Image-in replay at the reference's exact operating point: 1280x1024
+    Kannala-Brandt fisheye (`config/tumrs/cam_tumrs.yaml`), 150 features,
+    min_dist 25, CLAHE on, FB check on — the per-frame cost INCLUDES the
+    full front end (CLAHE -> gyro-predicted pyramidal KLT -> Shi-Tomasi
+    refill -> undistortion) plus the sliding-window estimator with online
+    line-delay calibration (≙ feature_tracker.cpp:44-127 + PerformCtrlVIO).
+    """
+    import time
+
+    import jax
+
+    on_tpu = args.preset == "tpu"
+    if not on_tpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.config.update("jax_cpu_enable_async_dispatch", True)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from ctrlvio_tpu.estimator.initializer import bootstrap_from_sim
+    from ctrlvio_tpu.estimator.odometry import CtrlVIO, VIOConfig
+    from ctrlvio_tpu.frontend.fused import FusedTracker, rotation_flow
+    from ctrlvio_tpu.frontend.klt import KLTConfig
+    from ctrlvio_tpu.frontend.tracker import TrackerConfig
+    from ctrlvio_tpu.models.cameras import Equidistant
+    from ctrlvio_tpu.ops import so3, so3np
+    from ctrlvio_tpu.sim import render, synthetic
+    from ctrlvio_tpu.solver.layout import WindowConfig
+    from ctrlvio_tpu.utils.ate import ate_rmse
+
+    H, W = 1024, 1280
+    cam = Equidistant(  # cam_tumrs.yaml projection_parameters
+        mu=739.1654756101043, mv=739.1438452683457,
+        u0=625.826167006398, v0=517.3370973594253,
+        k2=0.019327620961435945, k3=0.006784242994724914,
+        k4=-0.008658628531456217, k5=0.0051893686731546585)
+    duration = args.duration or (12.0 if on_tpu else 4.0)
+    dtype = np.float32 if on_tpu else np.float64
+
+    print(f"[bench-image] rendering {duration:.0f}s of {W}x{H} "
+          "Kannala-Brandt rolling-shutter imagery...", file=sys.stderr,
+          flush=True)
+    sim = synthetic.generate(synthetic.SimConfig(
+        duration=duration, n_landmarks=1500, seed=args.seed,
+        image_h=H, image_w=W))
+    imgs = render.render_sequence(sim, H, W, camera=cam, seed=1,
+                                  big_every=6, texture=6.0)
+
+    tcfg = TrackerConfig(  # cam_tumrs.yaml tracker block
+        max_cnt=150, min_dist=25, use_clahe=True, fb_check=True,
+        use_pallas=on_tpu, klt=KLTConfig(pred_levels=3))
+    tracker = FusedTracker(tcfg, cam, (H, W), lag=1 if on_tpu else 0)
+
+    cfg = VIOConfig(
+        window_config=WindowConfig(KW=32, NB=11, LM=256, OBS=768, MIMU=256),
+        fix_ld=False, ld_init=0.0, ld_upper=5e-5, dtype=dtype,
+        stream=on_tpu)
+    q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
+    R_CtoI = so3np.quat_to_matrix(q_CtoI[None])[0]
+    vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))
+
+    init = bootstrap_from_sim(sim)
+    for k in range(len(sim.imu_t_ns)):
+        vio.process_imu(sim.imu_t_ns[k], sim.gyro[k], sim.accel[k])
+    vio.set_initial_state(init.t_ns, init.q, init.p, init.bg, init.ba,
+                          init.gravity, v0=init.v)
+
+    # device-resident image replay: the bag lives in HBM (a real TPU host
+    # feeds images over PCIe at GB/s; this dev harness tunnels at ~45 MB/s,
+    # which would mismeasure the chip). --duration still bounds memory.
+    imgs_dev = [jnp.asarray(im) for im in imgs] if on_tpu else imgs
+    if on_tpu:
+        jax.block_until_ready(imgs_dev[-1])
+
+    est, gt = [], []
+    t_feat = t_est = 0.0
+    frame_times = []
+    timed_from = (cfg.stream_warmup + 10) if cfg.stream else 4
+    prev_t = None
+    for i, fr in enumerate(sim.frames):
+        t0 = time.perf_counter()
+        M = (rotation_flow(sim.imu_t_ns, sim.gyro, prev_t, fr.t_ns, R_CtoI)
+             if prev_t is not None else None)
+        feat = tracker.step(fr.t_ns, imgs_dev[i], R_rel=M)
+        prev_t = fr.t_ns
+        t1 = time.perf_counter()
+        out = None
+        if feat is not None and len(feat["ids"]) >= 8:
+            out = vio.process_frame(feat["t_ns"], feat["ids"], feat["pts"],
+                                    feat["rows"])
+        t2 = time.perf_counter()
+        if out is not None:
+            q, p = out
+            est.append(p)
+            gt.append(sim.pose_at(feat["t_ns"] * 1e-9)[1])
+        if i == timed_from:
+            vio.timing.clear()
+        if i >= timed_from:
+            frame_times.append(t2 - t0)
+            t_feat += t1 - t0
+            t_est += t2 - t1
+        if i % 25 == 0:
+            print(f"[bench-image] frame {i}/{len(sim.frames)} "
+                  f"({(t2 - t0) * 1e3:.0f} ms, "
+                  f"{len(feat['ids']) if feat else 0} feats)",
+                  file=sys.stderr, flush=True)
+    feat = tracker.flush()
+    if feat is not None and len(feat["ids"]) >= 8:
+        out = vio.process_frame(feat["t_ns"], feat["ids"], feat["pts"],
+                                feat["rows"])
+        if out is not None:
+            est.append(out[1])
+            gt.append(sim.pose_at(feat["t_ns"] * 1e-9)[1])
+    vio.flush()
+
+    est, gt = np.asarray(est), np.asarray(gt)
+    err = ate_rmse(est[10:], gt[10:], align="yaw")
+    ld_err = abs(vio.traj.line_delay - sim.cfg.line_delay)
+    print(f"[bench-image] frames={len(est)} ATE={err * 100:.2f} cm "
+          f"ld={vio.traj.line_delay * 1e6:.2f} us "
+          f"(true {sim.cfg.line_delay * 1e6:.2f}, err {ld_err * 1e6:.2f} us)",
+          file=sys.stderr)
+    if err > 0.15 or ld_err > 5e-6:
+        print("[bench-image] FAIL accuracy gates (ATE<0.15m, ld_err<5us)",
+              file=sys.stderr)
+        sys.exit(1)
+
+    n = max(len(frame_times), 1)
+    phases = {k: round(v / n * 1e3, 1) for k, v in vio.timing.items()}
+    print(f"[bench-image] per-frame: front-end {t_feat / n * 1e3:.1f} ms, "
+          f"estimator {t_est / n * 1e3:.1f} ms; estimator phases {phases}",
+          file=sys.stderr)
+    per_frame = float(np.median(frame_times))
+    fps = 1.0 / per_frame
+    print(f"[bench-image] median frame time {per_frame * 1e3:.1f} ms "
+          f"({fps:.1f} fps incl. front end, keyframe rate 10 Hz)",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "image_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 10.0, 2),
+    }))
+
+
 def bench_serve(args):
     """Batched multi-sequence streaming replay: B full estimators on one
     chip through a single vmapped megastep (the serving deployment shape)."""
@@ -265,6 +529,32 @@ def bench_serve(args):
     print(f"[bench-serve] B={B}: {per_step * 1e3:.1f} ms/lockstep frame -> "
           f"{agg:.1f} aggregate frames/s ({agg / 10.0:.1f}x realtime "
           f"sequences per chip)", file=sys.stderr)
+
+    # MFU / HBM accounting: XLA's own cost model for one vmapped megastep
+    # (all B lanes) times the measured step rate, against v5e peaks
+    # (197 TFLOP/s bf16-MXU, 819 GB/s HBM). The solve is f32, so MFU is
+    # conservatively stated against the bf16 peak.
+    try:
+        cost = coord.cost_analysis()
+    except Exception as e:  # pragma: no cover
+        cost = None
+        print(f"[bench-serve] cost_analysis unavailable: {e}",
+              file=sys.stderr)
+    if cost:
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+        rate = 1.0 / per_step
+        mfu = flops * rate / 197e12 * 100
+        hbm = byts * rate / 819e9 * 100
+        print(f"[bench-serve] one megastep (B={B}): "
+              f"{flops / 1e9:.2f} GFLOP, {byts / 1e6:.1f} MB accessed -> "
+              f"at {rate:.1f} steps/s: {flops * rate / 1e12:.3f} TFLOP/s "
+              f"({mfu:.2f}% MFU), {byts * rate / 1e9:.1f} GB/s HBM "
+              f"({hbm:.1f}% of peak); arithmetic intensity "
+              f"{flops / max(byts, 1):.1f} FLOP/B "
+              f"-> {'HBM' if flops / max(byts, 1) < 240 else 'MXU'}-bound "
+              f"on-chip, dispatch/RTT-bound if utilizations are low",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "served_frames_per_sec_per_chip",
         "value": round(agg, 2),
