@@ -118,14 +118,11 @@ def read_messages(path: str, topics: Optional[List[str]] = None
             if comp == b"bz2":
                 data = bz2.decompress(data)
             elif comp == b"lz4":
-                try:
-                    import lz4.frame  # optional; not in this image
-                except ImportError as e:  # pragma: no cover
-                    raise RuntimeError(
-                        "bag uses lz4 chunk compression and the lz4 package "
-                        "is unavailable; re-record with 'rosbag decompress'"
-                    ) from e
-                data = lz4.frame.decompress(data)
+                # roslz4 writes the LZ4 Frame format; decoded by the
+                # in-tree pure-python codec (io/lz4.py) — no external dep
+                from ctrlvio_tpu.io import lz4
+
+                data = lz4.decompress_frame(data)
             elif comp != b"none":
                 raise ValueError(f"unknown chunk compression {comp!r}")
             for cid, t_ns, raw in scan(data):

@@ -64,29 +64,46 @@ def _msg_record(cid, t_ns, payload) -> bytes:
     return _record(_hdr(op=b"\x02", conn=_u32.pack(cid), time=t), payload)
 
 
-def write_bag(path, msgs, compression=b"none"):
-    """msgs: list of (cid, topic, type, t_ns, payload). One chunk."""
-    chunk = b""
-    seen = set()
-    for cid, topic, mtype, t_ns, payload in msgs:
-        if cid not in seen:
-            chunk += _conn_record(cid, topic, mtype)
-            seen.add(cid)
-        chunk += _msg_record(cid, t_ns, payload)
-    raw = chunk
-    if compression == b"bz2":
-        raw = bz2.compress(chunk)
+def write_bag_chunks(path, chunks, compression=b"none"):
+    """chunks: list of chunk message lists [(cid, topic, type, t_ns,
+    payload), ...]; every chunk re-declares the connections it uses (what
+    rosbag record does, so chunks stay self-contained)."""
+    blobs = []
+    n_conn = set()
+    for msgs in chunks:
+        chunk = b""
+        seen = set()
+        for cid, topic, mtype, t_ns, payload in msgs:
+            if cid not in seen:
+                chunk += _conn_record(cid, topic, mtype)
+                seen.add(cid)
+                n_conn.add(cid)
+            chunk += _msg_record(cid, t_ns, payload)
+        raw = chunk
+        if compression == b"bz2":
+            raw = bz2.compress(chunk)
+        elif compression == b"lz4":
+            from ctrlvio_tpu.io import lz4
+
+            raw = lz4.compress_frame(chunk)
+        blobs.append((len(chunk), raw))
     with open(path, "wb") as f:
         f.write(rosbag.MAGIC)
         # bag header record (padded to 4096 with spaces, per spec)
         bh = _hdr(op=b"\x03", index_pos=struct.pack("<Q", 0),
-                  conn_count=_u32.pack(len(seen)),
-                  chunk_count=_u32.pack(1))
+                  conn_count=_u32.pack(len(n_conn)),
+                  chunk_count=_u32.pack(len(blobs)))
         pad = 4096 - len(bh)
         f.write(_record(bh, b" " * pad))
-        f.write(_record(
-            _hdr(op=b"\x05", compression=compression,
-                 size=_u32.pack(len(chunk))), raw))
+        for size, raw in blobs:
+            f.write(_record(
+                _hdr(op=b"\x05", compression=compression,
+                     size=_u32.pack(size)), raw))
+
+
+def write_bag(path, msgs, compression=b"none"):
+    """msgs: list of (cid, topic, type, t_ns, payload). One chunk."""
+    write_bag_chunks(path, [msgs], compression)
 
 
 @pytest.fixture
