@@ -90,13 +90,7 @@ def reproj_residual(q4i, p4i, ui, q4j, p4j, uj, inv_dt, pt_i, pt_j, dinv, ext,
     into frame j and compared against pt_j. Math ≙
     `image_feature_factor.h:103-163`:
 
-      # guard: |dinv| is floored so a landmark crossing zero inverse depth
-    # yields a huge-but-FINITE point (Cauchy squashes it). Without this,
-    # pt_i/0 = inf and the robust weight's 0*inf = NaN poisons the whole
-    # cost, deadlocking the LM accept gate (observed in the lagged stream).
-    dinv = jnp.where(jnp.abs(dinv) < 1e-5,
-                     jnp.where(dinv < 0, -1e-5, 1e-5), dinv)
-    x_ci = pt_i / dinv
+      x_ci = pt_i / dinv
       p_Ii = R_CtoI x_ci + p_CinI          (feature in IMU frame i)
       p_G  = R_IitoG p_Ii + p_IiinG        (world)
       x_j  = R_ItoC ( R_GtoIj (p_G - p_IjinG) - p_CinI )

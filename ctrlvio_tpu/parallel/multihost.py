@@ -22,7 +22,7 @@ import sys
 
 
 def worker(process_id: int, num_processes: int, local_devices: int,
-           coordinator: str) -> None:
+           coordinator: str, bench_iters: int = 0) -> None:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={local_devices}")
@@ -70,12 +70,43 @@ def worker(process_id: int, num_processes: int, local_devices: int,
         print(f"[multihost] {num_processes} processes x {local_devices} "
               f"devices: global mesh {dict(mesh.shape)}, B={B} "
               f"cost {c0:.3e} -> {c1:.3e} OK", flush=True)
+
+    if bench_iters:
+        # scaling measurement: per-process work is CONSTANT (B = global
+        # device count, so one window per device); deviation of
+        # throughput/process from the 1-process run is pure coordination /
+        # DCN-protocol overhead (the SURVEY §2.2 efficiency question)
+        import time
+
+        opts_b = SolveOptions(max_iters=8)
+        solve_t = batch.make_batched_solver(mesh, cfg, opts_b)
+        args_t = (stack(params), stack(img), stack(imu), stack(bias),
+                  stack(prior), stack(fixed), ext, gravity, imu_info,
+                  sqrt_info_img)
+        jax.block_until_ready(solve_t(*args_t)[0])  # compile
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("bench_start")
+        t0 = time.perf_counter()
+        for _ in range(bench_iters):
+            out, _ = solve_t(*args_t)
+        jax.block_until_ready(out)
+        multihost_utils.sync_global_devices("bench_end")
+        dt = time.perf_counter() - t0
+        if process_id == 0:
+            wps = B * bench_iters / dt
+            print(f"[multihost-bench] procs={num_processes} B={B} "
+                  f"iters={bench_iters} wall={dt:.2f}s "
+                  f"wps={wps:.2f} wps_per_proc={wps / num_processes:.2f}",
+                  flush=True)
     jax.distributed.shutdown()
 
 
 def launch(num_processes: int = 2, local_devices: int = 4,
-           port: int = 39713, timeout: float = 600.0) -> None:
-    """Spawn the worker processes and wait for success."""
+           port: int = 39713, timeout: float = 600.0,
+           bench_iters: int = 0) -> str:
+    """Spawn the worker processes and wait for success. Returns process-0
+    output (contains the [multihost-bench] line when bench_iters > 0)."""
     coordinator = f"localhost:{port}"
     procs = []
     env = dict(os.environ)
@@ -84,7 +115,8 @@ def launch(num_processes: int = 2, local_devices: int = 4,
             [sys.executable, "-m", "ctrlvio_tpu.parallel.multihost",
              "--worker", str(pid), "--processes", str(num_processes),
              "--local-devices", str(local_devices),
-             "--coordinator", coordinator],
+             "--coordinator", coordinator,
+             "--bench-iters", str(bench_iters)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     out0 = procs[0].communicate(timeout=timeout)[0].decode()
     codes = [out0] and [p.wait(timeout=timeout) for p in procs]
@@ -93,6 +125,30 @@ def launch(num_processes: int = 2, local_devices: int = 4,
         raise RuntimeError(f"multihost workers failed: {codes}\n{out0}")
     if "[multihost]" not in out0:
         raise RuntimeError(f"no success line from process 0:\n{out0}")
+    return out0
+
+
+def scaling(process_counts=(1, 2, 4), local_devices: int = 1,
+            bench_iters: int = 20) -> dict:
+    """Weak-scaling efficiency curve over process counts: one window per
+    device, so ideal scaling keeps wps/process constant. Returns
+    {procs: (wps, efficiency_vs_1proc)}."""
+    import re
+
+    results = {}
+    base = None
+    for i, n in enumerate(process_counts):
+        out = launch(n, local_devices, port=39741 + i,
+                     bench_iters=bench_iters)
+        m = re.search(r"wps=([0-9.]+)", out)
+        wps = float(m.group(1))
+        per = wps / n
+        if base is None:
+            base = per
+        results[n] = (wps, per / base)
+        print(f"[scaling] procs={n}: {wps:.2f} windows/s, "
+              f"efficiency {per / base:.2f}", flush=True)
+    return results
 
 
 def main(argv=None):
@@ -101,12 +157,18 @@ def main(argv=None):
     ap.add_argument("--processes", type=int, default=2)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--coordinator", default="localhost:39713")
+    ap.add_argument("--bench-iters", type=int, default=0)
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the 1/2/4-process weak-scaling curve")
     args = ap.parse_args(argv)
-    if args.worker is None:
-        launch(args.processes, args.local_devices)
+    if args.scaling:
+        scaling()
+    elif args.worker is None:
+        launch(args.processes, args.local_devices,
+               bench_iters=args.bench_iters)
     else:
         worker(args.worker, args.processes, args.local_devices,
-               args.coordinator)
+               args.coordinator, bench_iters=args.bench_iters)
 
 
 if __name__ == "__main__":

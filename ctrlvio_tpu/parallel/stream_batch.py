@@ -77,12 +77,24 @@ class BatchedStream:
                 lambda *xs: jnp.stack(xs), *states)
         blobs = jnp.stack([jnp.asarray(s[0]) for s in self._slots])
         v0 = self.vios[0]
-        self._stacked, summaries = self._vmega(
-            self._stacked, blobs, v0._ext, v0._gravity_j, v0._imu_info,
-            v0._sqrt_info_img)
+        self._last_args = (self._stacked, blobs, v0._ext, v0._gravity_j,
+                           v0._imu_info, v0._sqrt_info_img)
+        self._stacked, summaries = self._vmega(*self._last_args)
         for i, v in enumerate(self.vios):
             v._stream_complete(summaries[i], self._slots[i][2])
         return outs
+
+    # ------------------------------------------------------------------
+    def cost_analysis(self):
+        """XLA-reported cost of ONE vmapped megastep (all B lanes):
+        {'flops': ..., 'bytes accessed': ...} — the numerator of the MFU /
+        HBM-utilization accounting in `bench.py --mode serve`."""
+        if getattr(self, "_last_args", None) is None:
+            return None
+        c = self._vmega.lower(*self._last_args).compile().cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return c
 
     # ------------------------------------------------------------------
     def flush(self):

@@ -21,5 +21,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# persistent compilation cache: repeat suite runs skip recompiles (the
+# dominant cost of the fast tests), keeping the full gate in a ~10-min box
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+except Exception:
+    pass
+
 assert jax.default_backend() == "cpu", "tests must run on CPU"
 assert len(jax.devices()) >= 8, "need 8 virtual CPU devices for mesh tests"
