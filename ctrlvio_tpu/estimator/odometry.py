@@ -105,12 +105,14 @@ class VIOConfig:
     # (≙ ResidualSummary, `trajectory_estimator.cpp:69-95`)
     debug_residual_summary: bool = False
     # reject the bootstrap if the first-window f64 BA can't converge below
-    # this cost (a rolling-shutter-distorted SfM init can pass the SfM
+    # this RMS (a rolling-shutter-distorted SfM init can pass the SfM
     # gates yet sit outside the BA's basin); the bootstrap then RESETS and
     # retries with a later window — ≙ the reference's retry-every-frame
-    # init loop (`vio_initial.cpp:42-56`). Noise-free windows converge to
-    # ~0; a stuck basin plateaus in the thousands.
-    init_max_cost: float = 200.0
+    # init loop (`vio_initial.cpp:42-56`). Units: weighted residual sigma
+    # per image-observation coordinate (1.0 = residuals exactly at the
+    # configured measurement noise). Healthy inits (even on real tracked
+    # imagery) sit <1.5; stuck basins sit at several sigma.
+    init_max_rms: float = 3.0
 
 
 @dataclass
@@ -344,24 +346,65 @@ class CtrlVIO:
     # image front-end (≙ OdometryManager owning FeatureTrackerNode and
     # calling it in-process from the replay loop, `odometry_manager.h:70-73`)
     # ------------------------------------------------------------------
-    def attach_frontend(self, camera, image_shape, tracker_cfg=None):
+    def attach_frontend(self, camera, image_shape, tracker_cfg=None,
+                        fused: bool = True):
         """Attach the KLT front-end so raw images can be fed directly.
 
         camera: a model from `models.cameras` (lift: pixel -> normalized);
-        image_shape: (H, W); tracker_cfg: frontend.tracker.TrackerConfig."""
+        image_shape: (H, W); tracker_cfg: frontend.tracker.TrackerConfig.
+
+        fused=True (default) uses the single-dispatch FusedTracker with
+        gyro-predicted initial flow computed from this estimator's own IMU
+        buffer (and current gyro-bias estimate); fused=False keeps the
+        classic multi-dispatch FeatureTracker (reject_wf supported there)."""
         from ctrlvio_tpu.frontend.tracker import FeatureTracker, TrackerConfig
 
-        self.tracker = FeatureTracker(tracker_cfg or TrackerConfig(),
-                                      camera, image_shape)
+        tcfg = tracker_cfg or TrackerConfig()
+        if fused and not tcfg.reject_wf:
+            from ctrlvio_tpu.frontend.fused import FusedTracker
+
+            self.tracker = FusedTracker(tcfg, camera, image_shape)
+        else:
+            self.tracker = FeatureTracker(tcfg, camera, image_shape)
+        self._prev_img_t_ns = None
 
     def process_image(self, t_ns: int, img: np.ndarray):
-        """Feed one raw image: CLAHE -> pyramidal KLT -> (optional F-RANSAC)
-        -> undistort -> feature frame -> per-frame estimation. Returns the
-        pose estimate like process_frame, or None for rate-gated frames /
-        pre-init. ≙ ImageMsgHandle -> img_callback -> PerformCtrlVIO."""
+        """Feed one raw image: CLAHE -> pyramidal KLT (gyro-predicted in
+        fused mode) -> undistort -> feature frame -> per-frame estimation.
+        Returns the pose estimate like process_frame, or None for
+        rate-gated frames / pre-init.
+        ≙ ImageMsgHandle -> img_callback -> PerformCtrlVIO."""
         assert getattr(self, "tracker", None) is not None, \
             "call attach_frontend(camera, image_shape) first"
-        out = self.tracker.process(int(t_ns), img)
+        from ctrlvio_tpu.frontend.fused import FusedTracker, rotation_flow
+
+        if isinstance(self.tracker, FusedTracker):
+            M = None
+            if self._prev_img_t_ns is not None and len(self.imu_t_ns):
+                from ctrlvio_tpu.ops import so3np
+
+                R_ic = so3np.quat_to_matrix(self.q_CtoI[None])[0]
+                # the IMU buffer rebases to data_start_ns at init; frame
+                # times stay absolute — query in the buffer's timebase
+                base = self.data_start_ns or 0
+                M = rotation_flow(self.imu_t_ns, self.imu_gyro,
+                                  self._prev_img_t_ns - base,
+                                  int(t_ns) - base, R_ic, bg=self.bg[-1])
+            out = self.tracker.step(int(t_ns), img, R_rel=M)
+            self._prev_img_t_ns = int(t_ns)
+            # publish-rate gate (≙ feature_tracker_node.cpp:80-93): track
+            # every frame, run estimation at cfg.freq
+            cfgf = self.tracker.cfg.freq
+            first = getattr(self, "_img_first_t_ns", None)
+            if first is None:
+                self._img_first_t_ns = int(t_ns)
+                self._img_pub = 0
+            elapsed = (int(t_ns) - self._img_first_t_ns) * 1e-9
+            if elapsed > 0 and self._img_pub / elapsed > cfgf:
+                return None
+            self._img_pub = getattr(self, "_img_pub", 0) + 1
+        else:
+            out = self.tracker.process(int(t_ns), img)
         if out is None:
             return None
         return self.process_frame(out["t_ns"], out["ids"], out["pts"],
@@ -551,19 +594,34 @@ class CtrlVIO:
         # of the basin (measured: bias blow-up ~10 frames later through the
         # marg-prior feedback), while one f64 solve lands at machine floor.
         # Steady-state frames start near the solution, where f32 is proven.
-        self._init_solve_f64()
-        if (self.cfg.bootstrap != "external"
-                and self.last_solve_stats.cost > self.cfg.init_max_cost):
+        n_img_obs = self._init_solve_f64()
+        # Quality gate in MEASUREMENT units, not absolute cost: the RMS
+        # weighted residual per image-observation coordinate. 1.0 = the
+        # residuals average exactly the configured measurement sigma
+        # (image_weight); a non-converged RS-distorted init sits at many
+        # sigma. Absolute cost can't serve here — it scales with the
+        # observation count and the front-end's noise level (a healthy
+        # KLT-tracked init on real imagery carries cost ~1e3 that a
+        # noiseless feature-sim init does not).
+        cost = float(self.last_solve_stats.cost)
+        rms = np.sqrt(2.0 * cost / max(2 * n_img_obs, 1))
+        if self.cfg.bootstrap != "external" and rms > self.cfg.init_max_rms:
             # the window BA could not converge (RS-distorted SfM init
             # outside the basin): reject and retry with a later window
             import sys as _sys
 
-            print(f"[ctrlvio] bootstrap rejected (init BA cost "
-                  f"{self.last_solve_stats.cost:.1f} > "
-                  f"{self.cfg.init_max_cost}); retrying with a later window",
-                  file=_sys.stderr)
+            print(f"[ctrlvio] bootstrap rejected (init BA residual RMS "
+                  f"{rms:.2f} sigma > {self.cfg.init_max_rms}, cost "
+                  f"{cost:.1f} over {n_img_obs} obs); retrying with a "
+                  f"later window", file=_sys.stderr)
             self._reset_bootstrap()
             return None
+        if self.cfg.bootstrap != "external":
+            import sys as _sys
+
+            print(f"[ctrlvio] bootstrap accepted (init BA residual RMS "
+                  f"{rms:.2f} sigma, cost {cost:.1f} over {n_img_obs} obs)",
+                  file=_sys.stderr)
         self._slide_window()
         self.initialized = True
         q, p = self.traj.pose(t_ns)
@@ -704,6 +762,7 @@ class CtrlVIO:
         self.prior = cast(prior64)
         if self.cfg.stream:
             self._init_prior = cast(prior64)
+        return int(np.asarray(img.valid).sum())
 
     # ------------------------------------------------------------------
     def _extend_and_predict(self, t_ns: int, from_start: bool = False):

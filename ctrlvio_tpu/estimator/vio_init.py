@@ -151,7 +151,9 @@ def _triangulate_point(P1, P2, x1, x2):
 def _pnp(obj_pts, img_pts, R0, t0, iters=10):
     """Gauss-Newton PnP refinement from an initial guess
     (≙ cv::solvePnP with useExtrinsicGuess=1 in `initial_sfm.cpp:122-191`).
-    Pose maps world -> camera: x_c = R X + t."""
+    Pose maps world -> camera: x_c = R X + t. Returns (R, t, ok); ok=False
+    when the system went non-finite/singular (degenerate geometry — the
+    caller fails the SfM attempt, and the bootstrap retries later)."""
     R, t = R0.copy(), t0.copy()
     for _ in range(iters):
         J_rows, r_rows = [], []
@@ -169,10 +171,16 @@ def _pnp(obj_pts, img_pts, R0, t0, iters=10):
         J = np.vstack(J_rows)
         r = np.concatenate(r_rows)
         H = J.T @ J + 1e-9 * np.eye(6)
-        dx = np.linalg.solve(H, -J.T @ r)
+        g = -J.T @ r
+        if not (np.isfinite(H).all() and np.isfinite(g).all()):
+            return R, t, False
+        try:
+            dx = np.linalg.solve(H, g)
+        except np.linalg.LinAlgError:
+            return R, t, False
         R = R @ _expm(dx[:3])
         t = t + dx[3:]
-    return R, t
+    return R, t, np.isfinite(t).all()
 
 
 def _skew(v):
@@ -224,6 +232,22 @@ def global_sfm(n_frames: int, tracks, l: int, R_rel, t_rel) -> Optional[SfMResul
 
     points: Dict[int, np.ndarray] = {}
 
+    def good_point(X, Pa, Pb):
+        """Dehomogenize + sanity gates: finite, positive bounded depth in
+        BOTH views (≙ the cheirality/depth gates the reference inherits from
+        cv::triangulatePoints usage) — near-infinity points otherwise
+        poison the PnP chain with overflow."""
+        if abs(X[3]) < 1e-8:
+            return None
+        Xw = X[:3] / X[3]
+        h = np.append(Xw, 1.0)
+        if not np.isfinite(Xw).all():
+            return None
+        za, zb = Pa[2] @ h, Pb[2] @ h
+        if not (0.05 < za < 1e3 and 0.05 < zb < 1e3):
+            return None
+        return Xw
+
     def triangulate_frame_pair(fa, fb):
         Pa = np.hstack([R[fa], t[fa][:, None]])
         Pb = np.hstack([R[fb], t[fb][:, None]])
@@ -232,8 +256,9 @@ def global_sfm(n_frames: int, tracks, l: int, R_rel, t_rel) -> Optional[SfMResul
                 continue
             if (fid, fa) in obs and (fid, fb) in obs:
                 X = _triangulate_point(Pa, Pb, obs[(fid, fa)], obs[(fid, fb)])
-                if abs(X[3]) > 1e-12:
-                    points[fid] = X[:3] / X[3]
+                Xw = good_point(X, Pa, Pb)
+                if Xw is not None:
+                    points[fid] = Xw
 
     def pnp_frame(f, f_ref):
         o, i = [], []
@@ -243,9 +268,10 @@ def global_sfm(n_frames: int, tracks, l: int, R_rel, t_rel) -> Optional[SfMResul
                 i.append(obs[(fid, f)])
         if len(o) < 10:
             return False
-        R[f], t[f] = _pnp(np.asarray(o), np.asarray(i), R[f_ref].copy(), t[f_ref].copy())
-        known[f] = True
-        return True
+        R[f], t[f], ok = _pnp(np.asarray(o), np.asarray(i), R[f_ref].copy(),
+                              t[f_ref].copy())
+        known[f] = ok
+        return ok
 
     # [1] l <-> newest, then chain l..newest forward
     triangulate_frame_pair(l, F - 1)
@@ -267,8 +293,9 @@ def global_sfm(n_frames: int, tracks, l: int, R_rel, t_rel) -> Optional[SfMResul
             Pa = np.hstack([R[fa], t[fa][:, None]])
             Pb = np.hstack([R[fb], t[fb][:, None]])
             X = _triangulate_point(Pa, Pb, obs[(fid, fa)], obs[(fid, fb)])
-            if abs(X[3]) > 1e-12:
-                points[fid] = X[:3] / X[3]
+            Xw = good_point(X, Pa, Pb)
+            if Xw is not None:
+                points[fid] = Xw
 
     # [4] full bundle adjustment (poses l fixed; ≙ the autodiff BA
     # `initial_sfm.cpp:261-330`)

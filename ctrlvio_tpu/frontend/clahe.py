@@ -21,11 +21,16 @@ def clahe(img, tiles: int = 8, clip_limit: float = 3.0, nbins: int = 256):
     x = jnp.clip(img, 0, 255).astype(jnp.float32)
     b = jnp.clip(x.astype(jnp.int32), 0, nbins - 1)
 
-    # per-tile histograms
+    # per-tile histograms: one-hot compare + reduce per tile (sequential
+    # lax.map keeps the one-hot at one tile's footprint). On TPU this is a
+    # dense VPU compare/reduce — far faster than a 1.3M-element scatter-add,
+    # and bit-identical to it.
     tiles_img = b.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3).reshape(
         tiles * tiles, th * tw)
-    hist = jax.vmap(
-        lambda t: jnp.zeros((nbins,), jnp.float32).at[t].add(1.0))(tiles_img)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+    hist = jax.lax.map(
+        lambda t: (t[:, None] == bins[None, :]).astype(jnp.float32).sum(0),
+        tiles_img)
 
     # clip + redistribute (OpenCV semantics: clipLimit scaled by tile size)
     limit = jnp.maximum(clip_limit * th * tw / nbins, 1.0)

@@ -71,32 +71,38 @@ def detect(img, max_corners: int, min_dist: int, quality: float = 0.01,
     r = jnp.where(r >= _maxpool_same(r, 3), r, 0.0)
 
     # grid-cell suppression at min_dist granularity: keep the best response
-    # per cell
+    # per cell. Expressed as PAD + RESHAPE + per-cell max/argmax — pure
+    # data movement + reductions (TPU-friendly), no scatter and no top_k
+    # over the full H*W image (only over the ~2k cells).
     g = max(int(min_dist), 1)
     Hc, Wc = -(-H // g), -(-W // g)
-    cell = (yy // g) * Wc + (xx // g)
-    flat_cell = cell.reshape(-1)
-    flat_r = r.reshape(-1)
-    best = jnp.zeros((Hc * Wc,), dtype=r.dtype).at[flat_cell].max(flat_r)
-    keep = flat_r >= jnp.maximum(best[flat_cell], 1e-30)
-    flat_r = jnp.where(keep, flat_r, 0.0)
+    rp = jnp.pad(r, ((0, Hc * g - H), (0, Wc * g - W)))
+    cells = rp.reshape(Hc, g, Wc, g).transpose(0, 2, 1, 3).reshape(
+        Hc * Wc, g * g)
+    vals = cells.max(axis=1)
+    offs = cells.argmax(axis=1).astype(jnp.int32)
+    ci = jnp.arange(Hc * Wc, dtype=jnp.int32)
+    py = (ci // Wc) * g + offs // g
+    px = (ci % Wc) * g + offs % g
 
-    # exclude cells already occupied by tracked features
+    # exclude cells already occupied by tracked features (scatter over the
+    # small cell table only)
     if exclude_yx is not None:
         ey = jnp.clip(exclude_yx[:, 0], 0, H - 1).astype(jnp.int32)
         ex = jnp.clip(exclude_yx[:, 1], 0, W - 1).astype(jnp.int32)
         ecell = (ey // g) * Wc + (ex // g)
         valid_ex = exclude_yx[:, 0] >= 0
         occupied = jnp.zeros((Hc * Wc,), dtype=jnp.bool_).at[ecell].max(valid_ex)
-        flat_r = jnp.where(occupied[flat_cell], 0.0, flat_r)
+        vals = jnp.where(occupied, 0.0, vals)
 
-    # top candidates (sorted by response), then exact greedy min-dist NMS
-    # (the grid pass bounds candidates; the greedy pass enforces the radius
-    # across cell boundaries, ≙ the sequential mask of `applyMask`)
-    K = min(2 * max_corners, flat_r.shape[0])
-    vals, idx = jax.lax.top_k(flat_r, K)
-    pts = jnp.stack([(idx % W).astype(img.dtype), (idx // W).astype(img.dtype)],
+    # top candidate cells (sorted by response), then exact greedy min-dist
+    # NMS (the grid pass bounds candidates; the greedy pass enforces the
+    # radius across cell boundaries, ≙ the sequential mask of `applyMask`)
+    K = min(2 * max_corners, int(vals.shape[0]))
+    topv, topi = jax.lax.top_k(vals, K)
+    pts = jnp.stack([px[topi].astype(img.dtype), py[topi].astype(img.dtype)],
                     axis=-1)
+    vals = topv
     keep = vals > 0.0
 
     def body(i, keep):
