@@ -104,20 +104,29 @@ def worker(process_id: int, num_processes: int, local_devices: int,
 
 def launch(num_processes: int = 2, local_devices: int = 4,
            port: int = 39713, timeout: float = 600.0,
-           bench_iters: int = 0) -> str:
+           bench_iters: int = 0, pin_cores: bool = False) -> str:
     """Spawn the worker processes and wait for success. Returns process-0
-    output (contains the [multihost-bench] line when bench_iters > 0)."""
+    output (contains the [multihost-bench] line when bench_iters > 0).
+
+    pin_cores: give each worker ONE core (taskset) so the scaling curve
+    isolates coordination overhead — without it, XLA CPU's intra-op thread
+    pool makes a single process consume every core and the curve measures
+    core contention instead."""
     coordinator = f"localhost:{port}"
     procs = []
     env = dict(os.environ)
+    n_cores = os.cpu_count() or 1
     for pid in range(num_processes):
+        cmd = [sys.executable, "-m", "ctrlvio_tpu.parallel.multihost",
+               "--worker", str(pid), "--processes", str(num_processes),
+               "--local-devices", str(local_devices),
+               "--coordinator", coordinator,
+               "--bench-iters", str(bench_iters)]
+        if pin_cores:
+            cmd = ["taskset", "-c", str(pid % n_cores)] + cmd
         procs.append(subprocess.Popen(
-            [sys.executable, "-m", "ctrlvio_tpu.parallel.multihost",
-             "--worker", str(pid), "--processes", str(num_processes),
-             "--local-devices", str(local_devices),
-             "--coordinator", coordinator,
-             "--bench-iters", str(bench_iters)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+            cmd, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT))
     out0 = procs[0].communicate(timeout=timeout)[0].decode()
     codes = [out0] and [p.wait(timeout=timeout) for p in procs]
     print(out0)
@@ -139,7 +148,7 @@ def scaling(process_counts=(1, 2, 4), local_devices: int = 1,
     base = None
     for i, n in enumerate(process_counts):
         out = launch(n, local_devices, port=39741 + i,
-                     bench_iters=bench_iters)
+                     bench_iters=bench_iters, pin_cores=True)
         m = re.search(r"wps=([0-9.]+)", out)
         wps = float(m.group(1))
         per = wps / n
