@@ -31,10 +31,10 @@ import numpy as np
 # off and retries for up to ~10 minutes, then runs the real bench in a child
 # process (retried on crash/hang). If the tunnel never comes up it emits a
 # structured JSON failure record instead of a raw traceback.
-PROBE_BUDGET_S = 600.0  # total wall-clock spent waiting for the backend
-PROBE_TIMEOUT_S = 150.0  # one probe attempt (first compile can take ~40 s)
-CHILD_TIMEOUT_S = 2400.0  # one full bench attempt
-CHILD_ATTEMPTS = 3
+PROBE_BUDGET_S = float(os.environ.get("CTRLVIO_PROBE_BUDGET", 600.0))
+PROBE_TIMEOUT_S = float(os.environ.get("CTRLVIO_PROBE_TIMEOUT", 150.0))
+CHILD_TIMEOUT_S = float(os.environ.get("CTRLVIO_CHILD_TIMEOUT", 2400.0))
+CHILD_ATTEMPTS = int(os.environ.get("CTRLVIO_CHILD_ATTEMPTS", 3))
 
 _PROBE_SRC = """
 import jax, jax.numpy as jnp
