@@ -33,6 +33,7 @@ import numpy as np
 
 from ctrlvio_tpu.ops import so3, spline
 from ctrlvio_tpu.solver import gauge, lm, marginalize
+from ctrlvio_tpu.utils.precision import f32_matmuls
 from ctrlvio_tpu.solver.layout import (BiasFactors, ImageFactors, ImuFactors,
                                        PriorFactor, SolveOptions, WindowConfig,
                                        WindowParams)
@@ -272,6 +273,7 @@ def _extend_inertial(params: WindowParams, imu: ImuFactors,
 # ---------------------------------------------------------------------------
 
 
+@f32_matmuls
 def megastep(state: DevState, blob, ext, gravity, imu_info, sqrt_info_img,
              cfg: WindowConfig, opts: SolveOptions):
     """One frame, entirely on device. Returns (next state, flat summary).

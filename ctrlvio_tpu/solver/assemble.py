@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ctrlvio_tpu.ops import factors as F
 from ctrlvio_tpu.ops import spline
+from ctrlvio_tpu.utils.precision import f32_matmuls
 from .layout import (BiasFactors, ImageFactors, ImuFactors, PriorFactor,
                      SolveOptions, WindowConfig, WindowParams, boxminus_full)
 
@@ -112,6 +113,7 @@ def _knot_cols(s, base):
     return c0[..., None] + jnp.arange(3, dtype=s.dtype)  # (..., 4, 3)
 
 
+@f32_matmuls
 def linearize(params: WindowParams, img: ImageFactors, imu: ImuFactors,
               bias: BiasFactors, prior: PriorFactor, ext, gravity, imu_info,
               sqrt_info_img, cfg: WindowConfig, opts: SolveOptions,
@@ -248,6 +250,7 @@ def linearize(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                          obs_valid=img_active, cost=cost)
 
 
+@f32_matmuls
 def total_cost(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                bias: BiasFactors, prior: PriorFactor, ext, gravity, imu_info,
                sqrt_info_img, cfg: WindowConfig, opts: SolveOptions):

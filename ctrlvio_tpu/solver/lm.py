@@ -25,6 +25,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ctrlvio_tpu.utils.precision import f32_matmuls
+
 from . import assemble
 from .layout import (BiasFactors, ImageFactors, ImuFactors, PriorFactor,
                      SolveOptions, WindowConfig, WindowParams, column_mask,
@@ -38,6 +40,7 @@ class SolveStats(NamedTuple):
     accepted: jnp.ndarray  # number of accepted steps
 
 
+@f32_matmuls
 def build_normal_equations(lin: assemble.Linearization, cfg: WindowConfig,
                            col_mask: jnp.ndarray):
     """H, g for the camera system + diagonal landmark system + coupling.
@@ -62,6 +65,7 @@ def build_normal_equations(lin: assemble.Linearization, cfg: WindowConfig,
     return H, g, h_ll, g_l, H_cl
 
 
+@f32_matmuls
 def schur_solve(H, g, h_ll, g_l, H_cl, lam, col_mask, dtype_eps=1e-8):
     """Damped Schur-complement solve. Returns (dx_cam (C,), dx_lm (LM,))."""
     C = H.shape[0]
@@ -90,6 +94,7 @@ def schur_solve(H, g, h_ll, g_l, H_cl, lam, col_mask, dtype_eps=1e-8):
     return dx, dx_lm
 
 
+@f32_matmuls
 def solve_window(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                  bias: BiasFactors, prior: PriorFactor, fixed_knots,
                  ext, gravity, imu_info, sqrt_info_img,

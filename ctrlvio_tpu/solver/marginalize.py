@@ -31,6 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ctrlvio_tpu.ops import so3
+from ctrlvio_tpu.utils.precision import f32_matmuls
+
 from . import assemble
 from .layout import (BiasFactors, ImageFactors, ImuFactors, PriorFactor,
                      SolveOptions, WindowConfig, WindowParams)
@@ -61,6 +63,7 @@ def drop_mask(cfg: WindowConfig, drop_knots, drop_bias0: bool) -> jnp.ndarray:
     return jnp.concatenate([c_mask, jnp.ones((cfg.LM,), bool)])
 
 
+@f32_matmuls
 def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                 bias: BiasFactors, old_prior: PriorFactor, drop_knots,
                 ext, gravity, imu_info, sqrt_info_img,
@@ -141,6 +144,7 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     return out
 
 
+@f32_matmuls
 def build_prior_sqrt(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                      bias: BiasFactors, old_prior: PriorFactor, drop_knots,
                      ext, gravity, imu_info, sqrt_info_img,
