@@ -145,6 +145,11 @@ def main():
     ap.add_argument("--bootstrap", choices=["visual", "gt"], default="visual",
                     help="visual: full self-bootstrap (SfM + VI alignment, "
                          "like the reference); gt: ground-truth init")
+    ap.add_argument("--noiseless", action="store_true",
+                    help="disable sensor noise (exactness debugging). The "
+                         "default injects IMU+pixel noise at the reference's "
+                         "configured operating point (sigma_g=4e-3, "
+                         "sigma_a=8e-2, ~1px; ct_odometry_tumrs.yaml:16-20)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of the replay "
                          "(open with TensorBoard/xprof)")
@@ -199,8 +204,10 @@ def main():
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
 
-    sim = synthetic.generate(synthetic.SimConfig(
-        duration=duration, n_landmarks=300, seed=args.seed))
+    sim_kw = dict(duration=duration, n_landmarks=300, seed=args.seed)
+    sim_cfg = (synthetic.SimConfig(**sim_kw) if args.noiseless
+               else synthetic.reference_noise(**sim_kw))
+    sim = synthetic.generate(sim_cfg)
     cfg = VIOConfig(
         window_config=WindowConfig(KW=32, NB=11, LM=256, OBS=768, MIMU=256),
         fix_ld=False, ld_init=0.0, dtype=dtype,
@@ -233,7 +240,7 @@ def main():
 
         prof_ctx = profile_trace()
 
-    est, gt = [], []
+    est, gt, t_est_ns = [], [], []
     frame_times = []
     # the timed region starts after the bootstrap, jit compiles, AND the
     # stream's sync warmup (a one-time precision bootstrap, not throughput)
@@ -254,6 +261,7 @@ def main():
                                       if cfg.stream else 4)
                 q, p = out
                 est.append(p)
+                t_est_ns.append(fr.t_ns)
                 _, p_gt = sim.pose_at(fr.t_ns * 1e-9)
                 gt.append(p_gt)
             if timed_from is not None and i == timed_from:
@@ -268,16 +276,26 @@ def main():
 
     vio.flush()  # drain in-flight summaries (stream mode)
     est, gt = np.asarray(est), np.asarray(gt)
-    # skip the online-calibration transient; standard 4-DoF-aligned ATE
+    # ONLINE (forecast) ATE: poses as reported at frame time — the stream
+    # predicts ahead of the lagged solve, so this includes forecast lag.
+    # Skip the online-calibration transient; standard 4-DoF-aligned ATE.
     err = ate_rmse(est[10:], gt[10:], align="yaw")
+    # POST-HOC ATE: re-sample the final host-mirror spline at the same
+    # frame times (every knot now carries its last solved value) — the
+    # apples-to-apples analogue of the reference publishing post-solve
+    # poses (`odometry_manager.cpp:283-289`)
+    base = vio.data_start_ns or 0
+    post = np.stack([vio.traj.pose(t - base)[1][0] for t in t_est_ns])
+    err_post = ate_rmse(post[10:], gt[10:], align="yaw")
     ld_err = abs(vio.traj.line_delay - sim.cfg.line_delay)
-    print(f"[bench] frames={len(est)} ATE={err * 100:.2f} cm "
+    print(f"[bench] frames={len(est)} ATE online={err * 100:.2f} cm "
+          f"post-hoc={err_post * 100:.2f} cm "
           f"ld={vio.traj.line_delay * 1e6:.2f} us (true {sim.cfg.line_delay * 1e6:.2f}, "
           f"err {ld_err * 1e6:.2f} us)", file=sys.stderr)
 
     ate_gate = 0.10 if args.preset == "tpu" else 0.06
-    if err > ate_gate or ld_err > 5e-6:
-        print(f"[bench] FAIL accuracy gates (ATE<{ate_gate}m, ld_err<5us)",
+    if err > ate_gate or err_post > ate_gate or ld_err > 2e-6:
+        print(f"[bench] FAIL accuracy gates (ATE<{ate_gate}m, ld_err<2us)",
               file=sys.stderr)
         sys.exit(1)
 
@@ -361,7 +379,7 @@ def bench_image(args):
 
     cfg = VIOConfig(
         window_config=WindowConfig(KW=32, NB=11, LM=256, OBS=768, MIMU=256),
-        fix_ld=False, ld_init=0.0, ld_upper=5e-5, dtype=dtype,
+        fix_ld=False, ld_init=0.0, ld_upper=3.5e-5, dtype=dtype,
         stream=on_tpu)
     q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
     R_CtoI = so3np.quat_to_matrix(q_CtoI[None])[0]

@@ -245,6 +245,7 @@ class CtrlVIO:
 
         if cfg.stream:
             from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
 
             from . import stream as stream_mod
 
@@ -255,6 +256,12 @@ class CtrlVIO:
             self._dev_state = None
             self._prev_slot_fids: dict = {}
             self._dev_knot_hi = 0  # global knot idx the device has seeds through
+            # summary fetches run on a worker thread: the blocking
+            # device->host pull (measured 6.8 ms/frame over the tunnel —
+            # 50% of the whole frame budget) overlaps the next frames'
+            # host work instead of stalling the critical path
+            self._fetcher = ThreadPoolExecutor(max_workers=1,
+                                               thread_name_prefix="ctrlvio-fetch")
 
     # ------------------------------------------------------------------
     # ingest
@@ -457,11 +464,13 @@ class CtrlVIO:
                 # re-integrate the mirror's dead-reckoned tail from the
                 # freshly solved end — otherwise tip knots chain off stale
                 # dead-reckoned states and the online estimate random-walks
+                t_dr = _time.perf_counter()
                 hi = self._mirror_solved_hi
                 if hi < self.traj.n:
                     self._deadreckon_extension(
                         int((hi - 3) * self.traj.dt_ns), hi - 1,
                         self.traj.max_time_ns)
+                self.timing["consume_dr"] += _time.perf_counter() - t_dr
             self.timing["consume"] += _time.perf_counter() - t0
 
         # [2] feature update + keyframe decision (new frame -> slot NB-1)
@@ -504,8 +513,43 @@ class CtrlVIO:
 
             print(self.residual_summary().report(), file=_sys.stderr)
 
+        if stream_active:
+            # ONLINE forecast: integrate raw IMU from the last well-solved
+            # spline state directly to t_ns. Evaluating the spline at its
+            # extrapolated tip instead costs ~5 cm of pure representation
+            # error (the dead-reckon-seeded tip knots approximate the cubic
+            # blend, and the newest knots have no image factors yet) —
+            # measured as the entire online-vs-post-hoc ATE gap of r3.
+            return self._forecast_pose(t_ns)
         q, p = self.traj.pose(t_ns)
         return q[0], p[0]
+
+    # ------------------------------------------------------------------
+    def _forecast_pose(self, t_ns: int):
+        """Online pose at t_ns: midpoint IMU integration from the newest
+        image-constrained spline state (≙ the reference's IMU propagation
+        for the between-solve state, `visual_odometry.cpp:137-172`)."""
+        from ctrlvio_tpu.ops import so3np
+
+        from .initializer import InitialState, dead_reckon_poses
+
+        dt_ns = int(self.traj.dt_ns)
+        hi = getattr(self, "_mirror_solved_hi", self.traj.n)
+        # the last ~3 knots before hi are weakly constrained (no image
+        # factors yet); anchor below them, inside the solid region
+        t0 = max((hi - 4) * dt_ns, 0)
+        q0, p0 = self.traj.pose(t0)
+        i0 = min(self.traj.ctrl_idx(t0), self.traj.n - 4)
+        u = (t0 - i0 * dt_ns) / dt_ns
+        v0 = so3np.rd_eval(self.traj.knots_p[i0 : i0 + 4], np.float64(u),
+                           1.0 / self.traj.dt, 1)
+        st = InitialState(t_ns=0, q=q0[0], p=p0[0], bg=self.bg[-1],
+                          ba=self.ba[-1], gravity=self.gravity, v=v0)
+        sel = (self.imu_t_ns >= t0) & (self.imu_t_ns <= t_ns)
+        kq, kp = dead_reckon_poses(
+            np.array([t_ns - t0], np.int64), self.imu_t_ns[sel] - t0,
+            self.imu_gyro[sel], self.imu_accel[sel], st)
+        return kq[0], kp[0]
 
     # ------------------------------------------------------------------
     def residual_summary(self):
@@ -1154,11 +1198,7 @@ class CtrlVIO:
         self._dev_state, summary = self._megastep(
             self._dev_state, blob, self._ext, self._gravity_j,
             self._imu_info, self._sqrt_info_img, opts=self._ba_opts)
-        try:
-            summary.copy_to_host_async()
-        except Exception:
-            pass
-        self._stream_pending.append((meta, summary))
+        self._stream_pending.append((meta, self._fetch_async(summary)))
         self.timing["dispatch_jit"] += _time.perf_counter() - t0
 
     def _initial_dev_state(self):
@@ -1181,14 +1221,19 @@ class CtrlVIO:
             else jnp.asarray(np.asarray(x)), prior0)
         return self._stream_mod.DevState(params=p0, prior=prior0)
 
-    def _stream_complete(self, summary, meta):
-        """Batched-serving path: the coordinator hands back this
-        sequence's summary slice of the vmapped megastep."""
+    def _fetch_async(self, summary):
+        """Kick the device->host summary pull onto the fetcher thread.
+        Returns a future resolving to the host f64 array."""
         try:
             summary.copy_to_host_async()
         except Exception:
             pass
-        self._stream_pending.append((meta, summary))
+        return self._fetcher.submit(np.asarray, summary, np.float64)
+
+    def _stream_complete(self, summary, meta):
+        """Batched-serving path: the coordinator hands back this
+        sequence's summary slice of the vmapped megastep."""
+        self._stream_pending.append((meta, self._fetch_async(summary)))
 
     def _consume_summaries(self, max_pending: int):
         while self._stream_pending and len(self._stream_pending) > max_pending:
@@ -1203,8 +1248,13 @@ class CtrlVIO:
             self._consume_one()
 
     def _consume_one(self):
-        meta, summary = self._stream_pending.popleft()
-        host = np.asarray(summary, dtype=np.float64)  # blocks until landed
+        import time as _time
+
+        meta, fut = self._stream_pending.popleft()
+        t0 = _time.perf_counter()
+        host = fut.result()  # fetched by the worker thread frames ago
+        t1 = _time.perf_counter()
+        self.timing["consume_fetch"] += t1 - t0
         s = self._stream_mod.unpack_summary(host, self.wc)
         self.traj.write_back(meta["win_knot0"], s["knots_q"], s["knots_p"],
                              meta["n_active"])
@@ -1227,6 +1277,7 @@ class CtrlVIO:
         if meta["marg_old"]:
             q, p = self.traj.pose(meta["kf0_t_ns"])
             self.keyframes.append(KeyframePose(meta["kf0_t_ns"], q[0], p[0]))
+        self.timing["consume_apply"] += _time.perf_counter() - t1
 
 
 def _empty_image_factors(wc: WindowConfig, dtype) -> ImageFactors:

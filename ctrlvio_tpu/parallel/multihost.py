@@ -138,7 +138,7 @@ def launch(num_processes: int = 2, local_devices: int = 4,
 
 
 def scaling(process_counts=(1, 2, 4), local_devices: int = 1,
-            bench_iters: int = 20) -> dict:
+            bench_iters: int = 20, port_base: int = 39741) -> dict:
     """Weak-scaling efficiency curve over process counts: one window per
     device, so ideal scaling keeps wps/process constant. Returns
     {procs: (wps, efficiency_vs_1proc)}."""
@@ -147,7 +147,7 @@ def scaling(process_counts=(1, 2, 4), local_devices: int = 1,
     results = {}
     base = None
     for i, n in enumerate(process_counts):
-        out = launch(n, local_devices, port=39741 + i,
+        out = launch(n, local_devices, port=port_base + i,
                      bench_iters=bench_iters, pin_cores=True)
         m = re.search(r"wps=([0-9.]+)", out)
         wps = float(m.group(1))
@@ -155,9 +155,52 @@ def scaling(process_counts=(1, 2, 4), local_devices: int = 1,
         if base is None:
             base = per
         results[n] = (wps, per / base)
-        print(f"[scaling] procs={n}: {wps:.2f} windows/s, "
-              f"efficiency {per / base:.2f}", flush=True)
+        print(f"[scaling] procs={n} x {local_devices} dev: "
+              f"{wps:.2f} windows/s, efficiency {per / base:.2f}", flush=True)
     return results
+
+
+def scaling_artifact(path: str = None, bench_iters: int = 20) -> dict:
+    """Run the weak-scaling matrix and write a machine-checkable JSON
+    artifact (SCALING.json by default, next to MULTICHIP_r*.json):
+
+    - 1/2/4 processes x 1 device (the DCN-protocol-overhead curve), and
+    - 1/2 processes x 2 devices (per-process work doubled on the same
+      pinned core): if THIS 2-proc point also holds >=0.8, the 4x1 drop is
+      host core contention (4 workers + coordinator on a 4-core box), not
+      protocol overhead — the corroboration VERDICT r3 asked for.
+
+    North star: >=80% efficiency at 2+ hosts (BASELINE.md:34)."""
+    import json
+    import time
+
+    n_cores = os.cpu_count() or 1
+    counts = tuple(n for n in (1, 2, 4) if n <= n_cores)
+    curve_1dev = scaling(counts, local_devices=1, bench_iters=bench_iters,
+                         port_base=39741)
+    curve_2dev = scaling((1, 2), local_devices=2, bench_iters=bench_iters,
+                         port_base=39771)
+    art = {
+        "what": "weak-scaling efficiency, jax.distributed multi-process CPU "
+                "(protocol-true DCN stand-in; pods unavailable), one pinned "
+                "core per worker, one window per device",
+        "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "host_cores": n_cores,
+        "x1dev": {str(n): {"windows_per_s": round(w, 2),
+                           "efficiency": round(e, 3)}
+                  for n, (w, e) in curve_1dev.items()},
+        "x2dev": {str(n): {"windows_per_s": round(w, 2),
+                           "efficiency": round(e, 3)}
+                  for n, (w, e) in curve_2dev.items()},
+        "north_star": ">=0.80 efficiency at 2+ processes (BASELINE.md:34)",
+    }
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "SCALING.json")
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(f"[scaling] artifact -> {path}", flush=True)
+    return art
 
 
 def main(argv=None):
@@ -168,10 +211,10 @@ def main(argv=None):
     ap.add_argument("--coordinator", default="localhost:39713")
     ap.add_argument("--bench-iters", type=int, default=0)
     ap.add_argument("--scaling", action="store_true",
-                    help="run the 1/2/4-process weak-scaling curve")
+                    help="run the weak-scaling matrix and write SCALING.json")
     args = ap.parse_args(argv)
     if args.scaling:
-        scaling()
+        scaling_artifact()
     elif args.worker is None:
         launch(args.processes, args.local_devices,
                bench_iters=args.bench_iters)

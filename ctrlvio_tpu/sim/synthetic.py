@@ -60,10 +60,38 @@ class SimConfig:
     pixel_noise: float = 0.0  # in normalized coords
     gyro_bias: float = 0.0
     accel_bias: float = 0.0
+    # bias random walk (std of per-step increments scaled by sqrt(dt);
+    # ≙ σ_bg/σ_ba, `config/ct_odometry_tumrs.yaml:18-20`, which the
+    # estimator's BiasFactor random-walk model must track)
+    gyro_bias_rw: float = 0.0
+    accel_bias_rw: float = 0.0
     seed: int = 0
     # camera-IMU extrinsics
     ext_rot: tuple = (0.02, -0.01, 0.015)  # so3 log of R_CtoI
     ext_pos: tuple = (0.007, -0.057, -0.042)
+
+
+# The reference's operating condition: its whole estimation machinery —
+# per-axis info vectors 1/σ (`opt_weight.h:119-126`, where σ_g/σ_a are used
+# DIRECTLY as per-sample weights, the computed sqrt_dt deliberately unused),
+# Cauchy robust loss, bias random walk — exists for noisy sensors at these
+# configured levels (`config/ct_odometry_tumrs.yaml:16-20`,
+# `config/tumrs/cam_tumrs.yaml` focal≈739 with image_weight 800 → ~0.9 px).
+REFERENCE_NOISE = dict(
+    gyro_noise=4e-3,      # per-sample std, rad/s   (σ_g, yaml:16)
+    accel_noise=8e-2,     # per-sample std, m/s^2   (σ_a, yaml:19)
+    pixel_noise=1.35e-3,  # ~1 px at focal 739, normalized coords
+    gyro_bias=0.01,       # constant bias draw std, rad/s
+    accel_bias=0.05,      # constant bias draw std, m/s^2
+    gyro_bias_rw=2e-5,    # σ_bg (yaml:18)
+    accel_bias_rw=4e-4,   # σ_ba (yaml:20)
+)
+
+
+def reference_noise(**overrides) -> SimConfig:
+    """A SimConfig with sensor noise at the reference's configured operating
+    point (see REFERENCE_NOISE). Keyword overrides pass through to SimConfig."""
+    return SimConfig(**{**REFERENCE_NOISE, **overrides})
 
 
 @dataclass
@@ -176,8 +204,16 @@ def _generate_impl(cfg: SimConfig) -> SimData:
 
     bg = rng.normal(size=3) * cfg.gyro_bias
     ba = rng.normal(size=3) * cfg.accel_bias
-    gyro_m = w + bg + rng.normal(size=w.shape) * cfg.gyro_noise
-    accel_m = accel_body + ba + rng.normal(size=w.shape) * cfg.accel_noise
+    # slow bias drift: random walk with per-step std σ_rw·sqrt(dt) — the
+    # model the estimator's BiasFactor assumes (≙ trajectory_value_factor.h
+    # :36-105); SimData.bg/ba stay the t=0 values (what a bootstrap sees)
+    sqrt_dt = np.sqrt(1.0 / cfg.imu_rate)
+    bg_t = bg + np.cumsum(rng.normal(size=w.shape), axis=0) \
+        * (cfg.gyro_bias_rw * sqrt_dt)
+    ba_t = ba + np.cumsum(rng.normal(size=w.shape), axis=0) \
+        * (cfg.accel_bias_rw * sqrt_dt)
+    gyro_m = w + bg_t + rng.normal(size=w.shape) * cfg.gyro_noise
+    accel_m = accel_body + ba_t + rng.normal(size=w.shape) * cfg.accel_noise
 
     # --- landmarks ------------------------------------------------------
     # scatter points around the trajectory tube, biased forward of the camera

@@ -38,3 +38,22 @@ def test_within_capacity_keeps_every_sample():
     imu = packing.pack_imu_factors(t, g, a, kf, 0, int(t[-1]) + 1, 0.05, 0,
                                    cfg)
     assert imu.valid.sum() == 200
+
+
+def test_estimator_entry_points_pin_f32_matmuls():
+    """Guard for the TPU matmul-precision pin: every estimator-core jit
+    entry point must be wrapped with `utils.precision.f32_matmuls` (the
+    bf16 MXU default diverges the stream; CPU CI can't catch a missed
+    site, so we assert the wrap marker instead)."""
+    from ctrlvio_tpu.estimator import stream
+    from ctrlvio_tpu.solver import assemble, lm, marginalize
+
+    entry_points = [
+        stream.megastep,
+        lm.solve_window, lm.build_normal_equations, lm.schur_solve,
+        assemble.linearize, assemble.total_cost,
+        marginalize.build_prior, marginalize.build_prior_sqrt,
+    ]
+    for fn in entry_points:
+        assert getattr(fn, "__f32_matmuls__", False), \
+            f"{fn.__module__}.{fn.__name__} is not wrapped with f32_matmuls"
