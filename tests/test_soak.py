@@ -1,13 +1,20 @@
-"""Long-horizon f32 stream soak: the device-precision (f32) streaming
-pipeline must not accumulate drift against the f64 synchronous path over
-many window lengths — the regime where f32 marginalization-prior errors
-compound (≙ the recursion `marginalization_factor.cpp:254-263`, whose
-float behavior is this build's biggest numerical risk; the QR square-root
-prior `solver/marginalize.py::build_prior_sqrt` is the mitigation).
+"""Long-horizon f32 stream soak UNDER REFERENCE-LEVEL SENSOR NOISE: the
+device-precision (f32) streaming pipeline must not accumulate drift against
+the f64 synchronous path over many window lengths — the regime where f32
+marginalization-prior errors compound (≙ the recursion
+`marginalization_factor.cpp:254-263`, whose float behavior is this build's
+biggest numerical risk; the QR square-root prior
+`solver/marginalize.py::build_prior_sqrt` is the mitigation).
 
-CPU-sized here (~20 s, ~6x the window span); the full 120 s / 1200-frame
-soak runs on TPU via `python bench.py --duration 120` (numbers in
-PARITY.md §perf)."""
+Noise is injected at the reference's configured operating point
+(σ_g=4e-3, σ_a=8e-2, ~1 px; `config/ct_odometry_tumrs.yaml:16-20`) — the
+condition its noise-weighted estimation machinery exists for — and the
+line delay must still calibrate online from 0. This is also the suite's
+ld-convergence-under-noise gate (VERDICT r3 ask #1).
+
+CPU-sized here (~14 s, ~4.4x the window span); the full 120 s / 1200-frame
+soak runs on TPU via `python bench.py --duration 120` (recorded in
+PARITY.md §Performance)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +31,7 @@ DURATION = 14.0  # ~4.4x the window span; the 120 s TPU soak is bench.py's
 
 
 def _run(stream: bool, dtype):
-    sim = synthetic.generate(synthetic.SimConfig(
+    sim = synthetic.generate(synthetic.reference_noise(
         duration=DURATION, n_landmarks=250, seed=21))
     cfg = VIOConfig(
         window_config=WindowConfig(KW=32, NB=11, LM=192, OBS=768, MIMU=256),
