@@ -47,7 +47,11 @@ MARGIN_SECOND_NEW = 1
 
 @dataclass
 class VIOConfig:
-    window_config: WindowConfig = WindowConfig(KW=32, NB=11, LM=256, OBS=2048, MIMU=256)
+    # MIMU sized per the loud-failure formula (imu_rate * window_span *
+    # 1.25 = 200 * 1.1 * 1.25 = 275, plus slack for consecutive
+    # second-new slides stretching the window): 256 was marginal and
+    # overflowed when the window held non-keyframe stretches
+    window_config: WindowConfig = WindowConfig(KW=32, NB=11, LM=256, OBS=2048, MIMU=384)
     knot_dt: float = 0.05
     # IMU noise -> information (≙ OptWeight, `opt_weight.h:115-140`)
     sigma_gyro: float = 4e-3
@@ -89,6 +93,13 @@ class VIOConfig:
     # square-root form. False = classic synchronous per-frame round trips.
     stream: bool = False
     stream_lag: int = 6
+    # fetch only every k-th summary from the device (the per-pull tunnel
+    # latency is the single largest frame cost at k=1 — measured 8.6 ms of
+    # a 13.5 ms frame). The host mirror only needs the NEWEST summary:
+    # skipped frames' keyframe poses are reconstructed from the mirror
+    # after write-back (their times stay inside the knot window), and
+    # skipped summaries never transfer at all.
+    stream_consume_every: int = 3
     # frames after init that run the synchronous path (host f64
     # marginalization) before handing the state + prior to the f32 device
     # stream: the bootstrap transient carries large residuals (line delay
@@ -1239,7 +1250,7 @@ class CtrlVIO:
         self._dev_state, summary = self._megastep(
             self._dev_state, blob, self._ext, self._gravity_j,
             self._imu_info, self._sqrt_info_img, opts=self._ba_opts)
-        self._stream_pending.append((meta, self._fetch_async(summary)))
+        self._enqueue_summary(meta, summary)
         self.timing["dispatch_jit"] += _time.perf_counter() - t0
 
     def _initial_dev_state(self):
@@ -1271,14 +1282,36 @@ class CtrlVIO:
             pass
         return self._fetcher.submit(np.asarray, summary, np.float64)
 
+    def _enqueue_summary(self, meta, summary):
+        """Queue a dispatched frame's summary; only every k-th is actually
+        pulled to the host (prefetched on the worker thread at dispatch
+        time, so it has landed long before consumption)."""
+        self._dispatch_no = getattr(self, "_dispatch_no", -1) + 1
+        fetch = (self._dispatch_no % max(self.cfg.stream_consume_every, 1)
+                 == 0)
+        obj = self._fetch_async(summary) if fetch else summary
+        self._stream_pending.append((meta, obj, fetch))
+
     def _stream_complete(self, summary, meta):
         """Batched-serving path: the coordinator hands back this
         sequence's summary slice of the vmapped megastep."""
-        self._stream_pending.append((meta, self._fetch_async(summary)))
+        self._enqueue_summary(meta, summary)
 
     def _consume_summaries(self, max_pending: int):
-        while self._stream_pending and len(self._stream_pending) > max_pending:
-            self._consume_one()
+        """Apply the newest consumable summary (the last FETCHED one among
+        the over-lag entries) to the host mirror; earlier entries in the
+        batch are dropped without a device->host transfer."""
+        n_over = len(self._stream_pending) - max_pending
+        if n_over <= 0:
+            return
+        last = -1
+        for i in range(n_over):
+            if self._stream_pending[i][2]:
+                last = i
+        if last < 0:
+            return  # next fetched summary not yet past the lag horizon
+        batch = [self._stream_pending.popleft() for _ in range(last + 1)]
+        self._apply_summary_batch(batch)
 
     def flush(self):
         """End-of-stream drain (call before reading final poses /
@@ -1293,14 +1326,23 @@ class CtrlVIO:
         if not self.cfg.stream:
             return
         while self._stream_pending:
-            self._consume_one()
+            batch = [self._stream_pending.popleft()]
+            # extend to the next fetched entry (or the very end)
+            while self._stream_pending and not batch[-1][2]:
+                batch.append(self._stream_pending.popleft())
+            self._apply_summary_batch(batch)
 
-    def _consume_one(self):
+    def _apply_summary_batch(self, batch):
+        """Write the batch's NEWEST summary into the host mirror; record
+        keyframes for every marg_old frame in the batch from the mirror
+        (their slide-out times are still inside the knot window)."""
         import time as _time
 
-        meta, fut = self._stream_pending.popleft()
+        meta, obj, fetched = batch[-1]
         t0 = _time.perf_counter()
-        host = fut.result()  # fetched by the worker thread frames ago
+        # prefetched at dispatch time — landed frames ago; the raw-array
+        # fallback only happens at flush() for an off-cycle tail summary
+        host = obj.result() if fetched else np.asarray(obj, np.float64)
         t1 = _time.perf_counter()
         self.timing["consume_fetch"] += t1 - t0
         s = self._stream_mod.unpack_summary(host, self.wc)
@@ -1322,9 +1364,11 @@ class CtrlVIO:
 
         self.last_solve_stats = SimpleNamespace(
             cost0=s["cost0"], cost=s["cost"], accepted=s["accepted"])
-        if meta["marg_old"]:
-            q, p = self.traj.pose(meta["kf0_t_ns"])
-            self.keyframes.append(KeyframePose(meta["kf0_t_ns"], q[0], p[0]))
+        for m, _, _ in batch:
+            if m["marg_old"]:
+                q, p = self.traj.pose(m["kf0_t_ns"])
+                self.keyframes.append(
+                    KeyframePose(m["kf0_t_ns"], q[0], p[0]))
         self.timing["consume_apply"] += _time.perf_counter() - t1
 
 

@@ -19,7 +19,7 @@ def run_pipeline(duration=6.0, fix_ld=False, ld_init=0.0, seed=11, dtype=np.floa
     sim = synthetic.generate(synthetic.SimConfig(
         duration=duration, n_landmarks=250, seed=seed))
     cfg = VIOConfig(
-        window_config=WindowConfig(KW=48, NB=11, LM=256, OBS=1536, MIMU=512),
+        window_config=WindowConfig(KW=32, NB=11, LM=256, OBS=768, MIMU=256),
         fix_ld=fix_ld, ld_init=ld_init, dtype=dtype)
     q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
     vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))
@@ -80,7 +80,7 @@ def test_e2e_visual_bootstrap():
         duration=7.0, n_landmarks=250, seed=17,
         rot_excite=0.05, pos_excite=0.04))
     cfg = VIOConfig(
-        window_config=WindowConfig(KW=48, NB=11, LM=256, OBS=1536, MIMU=512),
+        window_config=WindowConfig(KW=32, NB=11, LM=256, OBS=768, MIMU=256),
         fix_ld=False, ld_init=0.0, dtype=np.float64, bootstrap="visual")
     q_CtoI = np.asarray(so3.quat_exp(jnp.asarray(np.array(sim.cfg.ext_rot))))
     vio = CtrlVIO(cfg, q_CtoI, np.array(sim.cfg.ext_pos))

@@ -32,8 +32,8 @@ def test_weak_scaling_two_processes_meets_north_star():
     quiet = os.getloadavg()[0] < 2.5
     best = 0.0
     for attempt in range(2):
-        curve = scaling((1, 2), local_devices=1, bench_iters=15,
-                        port_base=39751 + 4 * attempt)
+        curve = scaling((1, 2), local_devices=1, bench_iters=20,
+                        port_base=39751 + 4 * attempt, repeats=1)
         best = max(best, curve[2][1])
         if best >= 0.8:
             break

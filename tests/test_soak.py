@@ -27,7 +27,7 @@ from ctrlvio_tpu.sim import synthetic
 from ctrlvio_tpu.solver.layout import WindowConfig
 from ctrlvio_tpu.utils.ate import ate_rmse
 
-DURATION = 14.0  # ~4.4x the window span; the 120 s TPU soak is bench.py's
+DURATION = 11.0  # ~3.4x the window span; the 120 s TPU soak is bench.py's
 
 
 def _run(stream: bool, dtype):
