@@ -71,10 +71,12 @@ def _lk_kernel(iters: int,
                out_ref,                          # output (1, 128) block
                prev_win, cur_win, sems):         # scratch
     f = pl.program_id(0)
-    oy_p = org_ref[f, 0]
-    ox_p = org_ref[f, 1]
-    oy_c = org_ref[f, 2]
-    ox_c = org_ref[f, 3]
+    # force i32 (under x64 the scalar reads promote to i64, which
+    # tpu.memref_slice DMA offsets reject)
+    oy_p = org_ref[f, 0].astype(jnp.int32)
+    ox_p = org_ref[f, 1].astype(jnp.int32)
+    oy_c = org_ref[f, 2].astype(jnp.int32)
+    ox_c = org_ref[f, 3].astype(jnp.int32)
 
     cp_prev = pltpu.make_async_copy(
         prev_ref.at[pl.ds(pl.multiple_of(oy_p, 8), WIN_H),
@@ -96,9 +98,13 @@ def _lk_kernel(iters: int,
     iy = jnp.floor(py - HALF).astype(jnp.int32)
     fx = px - HALF - ix.astype(jnp.float32)
     fy = py - HALF - iy.astype(jnp.float32)
-    # keep the gradient taps (ix-1 / ix+1) inside the window
-    ix = jnp.clip(ix, 1, WIN_W - PATCH - 2)
-    iy = jnp.clip(iy, 1, WIN_H - PATCH - 2)
+    # keep the gradient taps (ix-1 / ix+1) inside the window. Bounds are
+    # explicit i32: under x64 mode Python-int clip bounds promote the
+    # index to i64 inside the kernel, and Mosaic's i64 convert lowering
+    # recurses infinitely (RecursionError at trace time).
+    one = jnp.int32(1)
+    ix = jnp.clip(ix, one, jnp.int32(WIN_W - PATCH - 2))
+    iy = jnp.clip(iy, one, jnp.int32(WIN_H - PATCH - 2))
 
     pw = prev_win[:]
     Wr = _row_weights(iy, fy)
@@ -125,9 +131,10 @@ def _lk_kernel(iters: int,
         cy = gy - oy_c.astype(jnp.float32)
         jx = jnp.floor(cx - HALF).astype(jnp.int32)
         jy = jnp.floor(cy - HALF).astype(jnp.int32)
-        # clamp so the 4-tap slices stay inside the window
-        jx = jnp.clip(jx, 0, WIN_W - PATCH - 1)
-        jy = jnp.clip(jy, 0, WIN_H - PATCH - 1)
+        # clamp so the 4-tap slices stay inside the window (i32 bounds —
+        # see the x64/Mosaic note above)
+        jx = jnp.clip(jx, jnp.int32(0), jnp.int32(WIN_W - PATCH - 1))
+        jy = jnp.clip(jy, jnp.int32(0), jnp.int32(WIN_H - PATCH - 1))
         hx = cx - HALF - jx.astype(jnp.float32)
         hy = cy - HALF - jy.astype(jnp.float32)
         I = _sample(cur_win[:], _row_weights(jy, hy), _col_weights(jx, hx))
@@ -158,6 +165,18 @@ def lk_refine(img_prev, img_cur, pts, guess, iters: int = 10,
     guess: (N, 2) initial estimates in img_cur.
     Returns (pts_cur (N, 2), min_eig (N,)).
     """
+    # Trace the whole kernel region with x64 semantics OFF regardless of
+    # the process config: every dtype here is explicitly f32/i32, and an
+    # x64-traced kernel leaks i64 into Mosaic (i64 DMA slice offsets are
+    # rejected; i64 converts recurse at lowering). Hosts that enable
+    # jax_enable_x64 for the f64 estimator paths would otherwise break
+    # the image front end.
+    with jax.enable_x64(False):
+        return _lk_refine_x32(img_prev, img_cur, pts, guess, iters,
+                              interpret)
+
+
+def _lk_refine_x32(img_prev, img_cur, pts, guess, iters, interpret):
     H, W = img_prev.shape
     N = pts.shape[0]
     pts = pts.astype(jnp.float32)
