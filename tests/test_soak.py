@@ -30,9 +30,10 @@ from ctrlvio_tpu.utils.ate import ate_rmse
 DURATION = 11.0  # ~3.4x the window span; the 120 s TPU soak is bench.py's
 
 
-def _run(stream: bool, dtype):
-    sim = synthetic.generate(synthetic.reference_noise(
-        duration=DURATION, n_landmarks=250, seed=21))
+def _run(stream: bool, dtype, sim=None, n_frames=None):
+    if sim is None:
+        sim = synthetic.generate(synthetic.reference_noise(
+            duration=DURATION, n_landmarks=250, seed=21))
     cfg = VIOConfig(
         window_config=WindowConfig(KW=32, NB=11, LM=192, OBS=768, MIMU=256),
         fix_ld=False, ld_init=0.0, dtype=dtype, stream=stream,
@@ -45,7 +46,7 @@ def _run(stream: bool, dtype):
     vio.set_initial_state(init.t_ns, init.q, init.p, init.bg, init.ba,
                           init.gravity, v0=init.v)
     t_frames, online = [], []
-    for fr in sim.frames:
+    for fr in sim.frames[:n_frames]:
         out = vio.process_frame(fr.t_ns, fr.ids, fr.pts, fr.rows)
         if out is not None:
             t_frames.append(fr.t_ns)
@@ -72,8 +73,14 @@ def test_f32_stream_soak_no_compounding_drift():
     # line delay stays converged at the end of the horizon
     assert abs(vio32.traj.line_delay - sim.cfg.line_delay) < 2e-6
 
-    # f32 stream matches the f64 sync oracle trajectory-wide (same frozen
-    # early transient in both, so compare to each other)
-    _, _, est64, _ = _run(stream=False, dtype=np.float64)
-    gap = ate_rmse(est32[10:], est64[10:], align="none")
+    # f32 stream matches the f64 sync oracle (same frozen early transient
+    # in both, so compare to each other). The oracle replays the SAME sim
+    # truncated to a ~6 s prefix — enough to catch gross f32 prior bias
+    # (which appears within a window span or two) at roughly half the
+    # test's cost; the long-horizon compounding gates above run on the
+    # full f32 horizon.
+    _, _, est64, _ = _run(stream=False, dtype=np.float64, sim=sim,
+                          n_frames=60)
+    n64 = len(est64)
+    gap = ate_rmse(est32[10:n64], est64[10:], align="none")
     assert gap < 0.05, f"f32-stream vs f64-sync gap {gap:.4f} m"
