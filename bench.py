@@ -547,7 +547,11 @@ def bench_serve(args):
     fail = False
     for lane, (vio, sim) in enumerate(zip(vios, sims)):
         t_eval = [f.t_ns for f in sim.frames[timed_from + 6 : n_frames]]
-        est = np.stack([vio.traj.pose(t)[1][0] for t in t_eval])
+        # trajectory times are relative to data_start_ns (the first window
+        # frame); evaluating at absolute times reads the spline ~0.3 s late
+        # (~15 cm at this excitation) — the bug this gate itself caught
+        base = vio.data_start_ns or 0
+        est = np.stack([vio.traj.pose(t - base)[1][0] for t in t_eval])
         gt = np.stack([sim.pose_at(t * 1e-9)[1] for t in t_eval])
         err = ate_rmse(est, gt, align="yaw")
         ld_err = abs(vio.traj.line_delay - sim.cfg.line_delay)
