@@ -21,16 +21,20 @@ def clahe(img, tiles: int = 8, clip_limit: float = 3.0, nbins: int = 256):
     x = jnp.clip(img, 0, 255).astype(jnp.float32)
     b = jnp.clip(x.astype(jnp.int32), 0, nbins - 1)
 
-    # per-tile histograms: one-hot compare + reduce per tile (sequential
-    # lax.map keeps the one-hot at one tile's footprint). On TPU this is a
-    # dense VPU compare/reduce — far faster than a 1.3M-element scatter-add,
-    # and bit-identical to it.
+    # per-tile histograms: one-hot compare + fused reduce, 16 tiles per
+    # unrolled chunk. A sequential lax.map over all 64 tiles costs ~64
+    # device-loop steps (measured ~1 ms each on a v5e — the whole CLAHE
+    # budget); 4 unrolled fused reduces stream the same compares at HBM
+    # speed. Chunking bounds any materialized one-hot to (16, th*tw, 256).
+    # Bit-identical to a scatter-add histogram.
     tiles_img = b.reshape(tiles, th, tiles, tw).transpose(0, 2, 1, 3).reshape(
         tiles * tiles, th * tw)
     bins = jnp.arange(nbins, dtype=jnp.int32)
-    hist = jax.lax.map(
-        lambda t: (t[:, None] == bins[None, :]).astype(jnp.float32).sum(0),
-        tiles_img)
+    CH = 16
+    hist = jnp.concatenate([
+        (tiles_img[c : c + CH, :, None] == bins[None, None, :])
+        .astype(jnp.float32).sum(1)
+        for c in range(0, tiles * tiles, CH)], axis=0)
 
     # clip + redistribute (OpenCV semantics: clipLimit scaled by tile size)
     limit = jnp.maximum(clip_limit * th * tw / nbins, 1.0)
@@ -49,16 +53,65 @@ def clahe(img, tiles: int = 8, clip_limit: float = 3.0, nbins: int = 256):
     tx = (xx - tw / 2.0) / tw
     y0 = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, tiles - 1)
     x0 = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, tiles - 1)
-    y1 = jnp.clip(y0 + 1, 0, tiles - 1)
-    x1 = jnp.clip(x0 + 1, 0, tiles - 1)
     wy = jnp.clip(ty - y0, 0.0, 1.0)
     wx = jnp.clip(tx - x0, 0.0, 1.0)
 
-    v00 = lut[y0, x0, b]
-    v01 = lut[y0, x1, b]
-    v10 = lut[y1, x0, b]
-    v11 = lut[y1, x1, b]
+    if H % (2 * tiles) == 0 and W % (2 * tiles) == 0:
+        # TPU path: the 4 per-pixel LUT gathers lut[y0,x0,b] lower to
+        # serial mega-fusions (measured 4 x 12.9 ms/frame at 1280x1024 —
+        # 90% of the whole front-end budget). Within each half-tile block
+        # the 4 corner tile indices are CONSTANT, so the lookup becomes a
+        # block-batched one-hot matmul against the block's 4 LUT rows —
+        # HBM-streaming compares + MXU contraction instead of gathers.
+        v4 = _corner_values_blocked(b, lut, tiles, th, tw, nbins)
+        v00, v01, v10, v11 = (v4[..., 0], v4[..., 1], v4[..., 2], v4[..., 3])
+    else:
+        y1 = jnp.clip(y0 + 1, 0, tiles - 1)
+        x1 = jnp.clip(x0 + 1, 0, tiles - 1)
+        v00 = lut[y0, x0, b]
+        v01 = lut[y0, x1, b]
+        v10 = lut[y1, x0, b]
+        v11 = lut[y1, x1, b]
     out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
            + v10 * wy * (1 - wx) + v11 * wy * wx)
     return out.astype(img.dtype if jnp.issubdtype(img.dtype, jnp.floating)
                       else jnp.float32)
+
+
+def _corner_values_blocked(b, lut, tiles, th, tw, nbins):
+    """Per-pixel LUT values for the 4 bilinear corner tiles, computed per
+    half-tile block where the corner indices are constant.
+
+    b: (H, W) int32 bins; lut: (tiles, tiles, nbins).
+    Returns (H, W, 4) f32 in corner order (y0x0, y0x1, y1x0, y1x1)."""
+    H, W = b.shape
+    hh, hw = th // 2, tw // 2
+    By, Bx = H // hh, W // hw              # 2*tiles x 2*tiles blocks
+
+    # constant corner tile indices per block (mirrors the clipped
+    # floor((p - half)/tile) of the per-pixel formula, which cannot
+    # straddle a half-tile block)
+    y0b = [min(max((h - 1) // 2, 0), tiles - 1) for h in range(By)]
+    x0b = [min(max((w - 1) // 2, 0), tiles - 1) for w in range(Bx)]
+    y1b = [min(y + 1, tiles - 1) for y in y0b]
+    x1b = [min(x + 1, tiles - 1) for x in x0b]
+    # (By, Bx, nbins, 4): each block's 4 corner LUT rows (static indexing)
+    ys = jnp.asarray([[ [y0b[h], y0b[h], y1b[h], y1b[h]] for w in range(Bx)]
+                      for h in range(By)], jnp.int32)
+    xs = jnp.asarray([[ [x0b[w], x1b[w], x0b[w], x1b[w]] for w in range(Bx)]
+                      for h in range(By)], jnp.int32)
+    lut4 = lut[ys, xs]                     # (By, Bx, 4, nbins) — tiny gather
+    lut4 = lut4.reshape(By * Bx, 4, nbins)
+
+    bb = b.reshape(By, hh, Bx, hw).transpose(0, 2, 1, 3).reshape(
+        By * Bx, hh * hw)
+    bins = jnp.arange(nbins, dtype=jnp.int32)
+    CH = max((By * Bx) // 8, 1)            # bound the one-hot transient
+    outs = []
+    for c in range(0, By * Bx, CH):
+        oh = (bb[c : c + CH, :, None] == bins[None, None, :]).astype(
+            jnp.float32)                   # (CH, hh*hw, nbins)
+        outs.append(jnp.einsum("bpk,bck->bpc", oh, lut4[c : c + CH]))
+    v = jnp.concatenate(outs, axis=0)      # (By*Bx, hh*hw, 4)
+    return v.reshape(By, Bx, hh, hw, 4).transpose(0, 2, 1, 3, 4).reshape(
+        H, W, 4)
