@@ -111,8 +111,9 @@ def track(pyr_prev, pyr_cur, pts, cfg: KLTConfig = KLTConfig(),
     Coarse-to-fine with forward-backward verification
     (≙ `feature_tracker.cpp:74-89`). With use_pallas=True the
     full-resolution levels run the Mosaic kernel
-    (`ops/pallas/lk_kernel.py` — 256 features in ~0.1 ms on a v5e);
-    levels smaller than the kernel's DMA window use the vmapped JAX path.
+    (`ops/pallas/lk_kernel.py` — 6 features per grid program; 150
+    features refine in ~2.3 ms on a v5e); levels smaller than the
+    kernel's DMA window use the vmapped JAX path.
 
     init (N, 2), optional: initial guess of the tracked positions (e.g. a
     gyro-predicted flow, `frontend/fused.py::rotation_flow`), ≙ OpenCV's
