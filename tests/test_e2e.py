@@ -77,7 +77,7 @@ def test_e2e_visual_bootstrap():
     # rolling-shutter skew poisons it — its quality gates reject windows
     # until motion is initializable
     sim = synthetic.generate(synthetic.reference_noise(
-        duration=7.0, n_landmarks=250, seed=17,
+        duration=6.0, n_landmarks=250, seed=17,
         rot_excite=0.05, pos_excite=0.04))
     cfg = VIOConfig(
         window_config=WindowConfig(KW=32, NB=11, LM=256, OBS=768, MIMU=256),
