@@ -371,9 +371,14 @@ def bench_image(args):
     print(f"[bench-image] rendering {duration:.0f}s of {W}x{H} "
           "Kannala-Brandt rolling-shutter imagery...", file=sys.stderr,
           flush=True)
+    # IMU noise at the reference operating point; pixel noise comes from
+    # the real CLAHE->KLT tracking of the rendered imagery, not the sim
+    img_noise = {} if args.noiseless else {
+        k: v for k, v in synthetic.REFERENCE_NOISE.items()
+        if k != "pixel_noise"}
     sim = synthetic.generate(synthetic.SimConfig(
         duration=duration, n_landmarks=1500, seed=args.seed,
-        image_h=H, image_w=W))
+        image_h=H, image_w=W, **img_noise))
     imgs = render.render_sequence(sim, H, W, camera=cam, seed=1,
                                   big_every=6, texture=6.0)
 
