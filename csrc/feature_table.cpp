@@ -154,6 +154,10 @@ struct FeatureTable {
     last_candidates.clear();
     for (auto& t : track_list)
       if (is_candidate(t)) last_candidates.push_back(&t);
+    // report the UNtruncated count via *n_candidates so the caller can
+    // fail loudly on landmark-capacity overflow (the reference holds
+    // NUM_OF_F = 2000 slots, parameters.h:10); only LM slots are packed.
+    *n_candidates = (int)last_candidates.size();
     if ((int)last_candidates.size() > LM) last_candidates.resize(LM);
 
     std::memset(valid, 0, OBS);
@@ -189,7 +193,6 @@ struct FeatureTable {
         nfac++;
       }
     }
-    *n_candidates = (int)last_candidates.size();
     return nfac;
   }
 

@@ -38,10 +38,11 @@ def _cmd_run(args):
         jax.config.update("jax_enable_x64", True)  # host f64 mirrors
 
     seq = dataset.load_sequence(args.sequence)
-    vio = CtrlVIO(cfg, q_CtoI, p_CinI)
+    tc = None
     if seq.images is not None:
         if cam is None:
             sys.exit("raw-image sequence but no camera model in the config")
+        from ctrlvio_tpu.estimator.packing import auto_landmark_slots
         from ctrlvio_tpu.frontend.tracker import TrackerConfig
 
         cam_d = raw.get("_camera_dict", {})
@@ -52,6 +53,13 @@ def _cmd_run(args):
             use_clahe=bool(cam_d.get("equalize", 1)),
             reject_wf=bool(cam_d.get("reject_wf", 0)),
             f_threshold=float(cam_d.get("F_threshold", 1.0)))
+        # size the landmark table from the tracker's feature cap (loud
+        # failure on overflow; ≙ the reference's NUM_OF_F headroom)
+        wc = cfg.window_config
+        cfg = replace(cfg, window_config=wc._replace(
+            LM=max(wc.LM, auto_landmark_slots(tc.max_cnt))))
+    vio = CtrlVIO(cfg, q_CtoI, p_CinI)
+    if tc is not None:
         vio.attach_frontend(cam, seq.images.shape[1:3], tc)
 
     t0 = time.perf_counter()

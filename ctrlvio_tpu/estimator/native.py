@@ -128,7 +128,17 @@ class NativeFeatureTable:
             i0_i=i0_i, f_i=f_i, row_i=row_i, pt_i=pt_i, i0_j=i0_j, f_j=f_j,
             row_j=row_j, pt_j=pt_j, lm_idx=lm_idx,
             valid=valid.astype(bool), marg_drop=marg.astype(bool))
-        return fa, dinv.astype(dtype), ncand.value
+        if ncand.value > LM:
+            # ft_pack reports the untruncated candidate count; only LM slots
+            # were packed — loud failure per the repo capacity policy.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "landmark capacity LM=%d exceeded (%d candidate tracks): "
+                "dropping %d landmarks. Raise WindowConfig.LM "
+                "(auto_landmark_slots(max_cnt) sizes it from the tracker "
+                "cap).", LM, ncand.value, ncand.value - LM)
+        return fa, dinv.astype(dtype), min(ncand.value, LM)
 
     def set_depths(self, dinv):
         self._lib.ft_set_depths(self._h, np.ascontiguousarray(dinv, np.float32))

@@ -20,6 +20,19 @@ from ctrlvio_tpu.solver.layout import (BiasFactors, ImageFactors, ImuFactors,
 S_TO_NS = 1_000_000_000
 
 
+def auto_landmark_slots(max_cnt: int, floor: int = 256, align: int = 128) -> int:
+    """Landmark slot count sized from the tracker's per-frame feature cap.
+
+    Candidate tracks alive in an 11-keyframe window are bounded by the
+    per-frame cap plus turnover churn; 3x the cap covers the churn seen on
+    textured imagery with margin (the reference simply reserves
+    NUM_OF_F = 2000 slots for max_cnt = 150, `parameters.h:10` — a 13x
+    blanket; slots cost solver time here, so size to need and fail loudly
+    on overflow instead)."""
+    need = 3 * int(max_cnt)
+    return max(floor, ((need + align - 1) // align) * align)
+
+
 def grid_of(t_ns: np.ndarray, dt: float, win_knot0: int):
     """int64 ns -> (window-relative segment int32, fraction f64)."""
     dt_ns = np.int64(round(dt * S_TO_NS))
@@ -73,6 +86,16 @@ def pack_image_factors(tracks: Sequence[FeatureTrack], kf_t_ns: np.ndarray,
 
     candidates = [t for t in tracks if t.is_candidate(cfg.NB - 1)]
     if len(candidates) > LM:
+        # loud failure: dropping whole landmarks silently degrades accuracy
+        # (the reference holds NUM_OF_F = 2000 slots, `parameters.h:10`).
+        # Size LM >= ~3 * max_cnt (see auto_landmark_slots) for headroom.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "landmark capacity LM=%d exceeded (%d candidate tracks): "
+            "dropping %d landmarks. Raise WindowConfig.LM "
+            "(auto_landmark_slots(max_cnt) sizes it from the tracker cap).",
+            LM, len(candidates), len(candidates) - LM)
         candidates = candidates[:LM]
     n = 0
     overflow = False

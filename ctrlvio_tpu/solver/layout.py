@@ -32,7 +32,12 @@ class WindowConfig(NamedTuple):
 
     KW: int = 40          # window knot capacity
     NB: int = 11          # keyframes in window (WINDOW_SIZE+1, ≙ parameters.h:8)
-    LM: int = 256         # landmark slots
+    LM: int = 256         # landmark slots; covers max_cnt<=~85 at full churn.
+    #                       Overflow fails loudly (packing warns, extra
+    #                       landmarks dropped) — size with
+    #                       packing.auto_landmark_slots(max_cnt) (~3x cap;
+    #                       the reference reserves NUM_OF_F=2000 for
+    #                       max_cnt=150, parameters.h:10)
     OBS: int = 2048       # image pair-factor slots
     MIMU: int = 512       # IMU factor slots
     dt: float = 0.05      # knot spacing seconds (≙ config knot_distance)
