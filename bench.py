@@ -242,6 +242,7 @@ def main():
 
     est, gt, t_est_ns = [], [], []
     frame_times = []
+    rms_trend = []  # (frame, [image, imu, bias, prior] RMS) samples
     # the timed region starts after the bootstrap, jit compiles, AND the
     # stream's sync warmup (a one-time precision bootstrap, not throughput)
     timed_from = None
@@ -273,6 +274,11 @@ def main():
                 vio.timing.clear()  # drop compile-time spikes from stats
             if timed_from is not None and i >= timed_from:
                 frame_times.append(dt_frame)
+            st = vio.last_solve_stats
+            if (st is not None and getattr(st, "rms", None) is not None
+                    and (not rms_trend or
+                         not np.array_equal(rms_trend[-1][1], st.rms))):
+                rms_trend.append((i, np.asarray(st.rms)))
             if i % 25 == 0:
                 print(f"[bench] frame {i}/{len(sim.frames)} "
                       f"({dt_frame * 1e3:.0f} ms)", file=sys.stderr, flush=True)
@@ -307,6 +313,18 @@ def main():
     n_timed = max(len(frame_times), 1)
     phases = {k: round(v / n_timed * 1e3, 1) for k, v in vio.timing.items()}
     print(f"[bench] per-frame phase ms: {phases}", file=sys.stderr)
+    if rms_trend:
+        # per-factor-type RMS trendline (≙ the reference printing its
+        # ResidualSummary after every solve) — the streaming path's
+        # regression signal over the whole run
+        print("[bench] per-type residual RMS trend (frame: image/imu/bias/"
+              "prior):", file=sys.stderr)
+        pick = np.unique(np.linspace(0, len(rms_trend) - 1,
+                                     min(8, len(rms_trend))).astype(int))
+        for k in pick:
+            fidx, r = rms_trend[k]
+            print(f"[bench]   {fidx:5d}: {r[0]:8.3f} {r[1]:8.3f} "
+                  f"{r[2]:8.3f} {r[3]:8.3f}", file=sys.stderr)
     if args.preset == "cpu-smoke":
         # per-factor-type residual report (≙ the reference's per-solve
         # ResidualSummary, its de-facto regression signal)

@@ -1363,7 +1363,14 @@ class CtrlVIO:
         from types import SimpleNamespace
 
         self.last_solve_stats = SimpleNamespace(
-            cost0=s["cost0"], cost=s["cost"], accepted=s["accepted"])
+            cost0=s["cost0"], cost=s["cost"], accepted=s["accepted"],
+            rms=s.get("rms"))  # per-type [image, imu, bias, prior]
+        if self.cfg.debug_residual_summary and s.get("rms") is not None:
+            import sys as _sys
+
+            r = s["rms"]
+            print(f"[ResidualSummary/stream] image={r[0]:.3f} imu={r[1]:.3f}"
+                  f" bias={r[2]:.3f} prior={r[3]:.3f}", file=_sys.stderr)
         for m, _, _ in batch:
             if m["marg_old"]:
                 q, p = self.traj.pose(m["kf0_t_ns"])

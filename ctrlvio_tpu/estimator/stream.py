@@ -346,6 +346,14 @@ def megastep(state: DevState, blob, ext, gravity, imu_info, sqrt_info_img,
     state2, dinv_sum = jax.lax.cond(sc.marg_old, slide_old, slide_second_new,
                                     None)
 
+    # per-type residual RMS at the solution (≙ the reference's per-solve
+    # ResidualSummary, `trajectory_estimator.cpp:69-95`): the streaming
+    # path's regression signal, one extra residual pass per frame
+    from ctrlvio_tpu.solver import assemble as _assemble
+
+    rms4 = _assemble.residual_rms(p_out, img, imu, bias, state.prior, ext,
+                                  gravity, imu_info, sqrt_info_img, cfg, opts)
+
     # summary: PRE-slide layout (this frame's window), post-handoff depths
     summary = jnp.concatenate([
         q_new.reshape(-1), p_new.reshape(-1),
@@ -354,12 +362,13 @@ def megastep(state: DevState, blob, ext, gravity, imu_info, sqrt_info_img,
         p_out.ld[None].astype(dtype),
         jnp.stack([stats.cost0, stats.cost,
                    stats.accepted.astype(dtype)]).astype(dtype),
+        rms4.astype(dtype),
     ])
     return state2, summary
 
 
 def summary_size(cfg: WindowConfig) -> int:
-    return 7 * cfg.KW + 6 * cfg.NB + cfg.LM + 4
+    return 7 * cfg.KW + 6 * cfg.NB + cfg.LM + 8
 
 
 def unpack_summary(host: np.ndarray, cfg: WindowConfig):
@@ -377,4 +386,5 @@ def unpack_summary(host: np.ndarray, cfg: WindowConfig):
         knots_q=take(4 * KW, (KW, 4)), knots_p=take(3 * KW, (KW, 3)),
         bg=take(3 * NB, (NB, 3)), ba=take(3 * NB, (NB, 3)),
         dinv=take(LM), ld=float(take(1)[0]), cost0=float(take(1)[0]),
-        cost=float(take(1)[0]), accepted=float(take(1)[0]))
+        cost=float(take(1)[0]), accepted=float(take(1)[0]),
+        rms=take(4))  # per-type residual RMS [image, imu, bias, prior]

@@ -251,6 +251,68 @@ def linearize(params: WindowParams, img: ImageFactors, imu: ImuFactors,
 
 
 @f32_matmuls
+def residual_rms(params: WindowParams, img: ImageFactors, imu: ImuFactors,
+                 bias: BiasFactors, prior: PriorFactor, ext, gravity,
+                 imu_info, sqrt_info_img, cfg: WindowConfig,
+                 opts: SolveOptions):
+    """Per-factor-type raw residual RMS at the current state: a (4,) vector
+    [image, imu, bias, prior] (per residual coordinate, valid factors only).
+
+    ≙ ResidualSummary printed after every reference solve
+    (`trajectory_estimator.cpp:69-95`) — the streaming path's per-type
+    regression signal, evaluated ONCE per frame after the solve (not in the
+    LM loop)."""
+    dtype = params.knots_p.dtype
+    inv_dt = jnp.asarray(1.0 / cfg.dt, dtype=dtype)
+    ld = params.ld
+
+    ui_tot = img.f_i + img.row_i * ld * inv_dt
+    uj_tot = img.f_j + img.row_j * ld * inv_dt
+    shift_i = jnp.floor(ui_tot)
+    shift_j = jnp.floor(uj_tot)
+    s_i = jnp.clip(img.i0_i + shift_i.astype(jnp.int32), 0, cfg.KW - 4)
+    s_j = jnp.clip(img.i0_j + shift_j.astype(jnp.int32), 0, cfg.KW - 4)
+    q4i = spline.gather_local(params.knots_q, s_i)
+    p4i = spline.gather_local(params.knots_p, s_i)
+    q4j = spline.gather_local(params.knots_q, s_j)
+    p4j = spline.gather_local(params.knots_p, s_j)
+    dinv = params.dinv[img.lm_idx]
+    r_img = jax.vmap(
+        lambda a, b, u1, c, d, u2, e, f_, g: F.reproj_residual(
+            a, b, u1, c, d, u2, inv_dt, e, f_, g, ext, sqrt_info_img)
+    )(q4i, p4i, ui_tot - shift_i, q4j, p4j, uj_tot - shift_j, img.pt_i, img.pt_j, dinv)
+    m_img = img.valid.astype(dtype)
+    rms_img = jnp.sqrt(jnp.sum(r_img * r_img * m_img[:, None])
+                       / jnp.maximum(2.0 * jnp.sum(m_img), 1.0))
+
+    s = jnp.clip(imu.i0, 0, cfg.KW - 4)
+    q4 = spline.gather_local(params.knots_q, s)
+    p4 = spline.gather_local(params.knots_p, s)
+    r_m = jax.vmap(
+        lambda a, b, u, bg, ba, gy, ac: F.imu_residual(
+            a, b, u, inv_dt, bg, ba, gy, ac, gravity, imu_info)
+    )(q4, p4, imu.u, params.bg[imu.bias_idx], params.ba[imu.bias_idx], imu.gyro, imu.accel)
+    m_imu = imu.valid.astype(dtype)
+    rms_imu = jnp.sqrt(jnp.sum(r_m * r_m * m_imu[:, None])
+                       / jnp.maximum(6.0 * jnp.sum(m_imu), 1.0))
+
+    rb = jax.vmap(F.bias_residual)(
+        params.bg[:-1], params.bg[1:], params.ba[:-1], params.ba[1:], bias.sqrt_info
+    )
+    m_b = bias.valid.astype(dtype)
+    rms_bias = jnp.sqrt(jnp.sum(rb * rb * m_b[:, None])
+                        / jnp.maximum(6.0 * jnp.sum(m_b), 1.0))
+
+    dx = boxminus_full(params, prior.knots_q0, prior.knots_p0, prior.bg0,
+                       prior.ba0, prior.ld0, cfg)
+    r_prior = prior.r0 + prior.J @ dx
+    n_prior = jnp.sum((jnp.sum(prior.J * prior.J, axis=1) > 0).astype(dtype))
+    rms_prior = jnp.sqrt(jnp.sum(r_prior * r_prior)
+                         / jnp.maximum(n_prior, 1.0))
+    return jnp.stack([rms_img, rms_imu, rms_bias, rms_prior])
+
+
+@f32_matmuls
 def total_cost(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                bias: BiasFactors, prior: PriorFactor, ext, gravity, imu_info,
                sqrt_info_img, cfg: WindowConfig, opts: SolveOptions):
