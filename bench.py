@@ -559,6 +559,12 @@ def bench_serve(args):
         t0 = time.perf_counter()
         coord.step([(s.frames[k].t_ns, s.frames[k].ids, s.frames[k].pts,
                      s.frames[k].rows) for s in sims])
+        if k == timed_from:
+            for v in vios:
+                v.timing.clear()
+            if hasattr(coord, "timing"):
+                coord.timing.clear()
+            coord._n_steps = 0
         if k >= timed_from:
             times.append(time.perf_counter() - t0)
         if k % 25 == 0:
@@ -591,6 +597,25 @@ def bench_serve(args):
     print(f"[bench-serve] B={B}: {per_step * 1e3:.1f} ms/lockstep frame -> "
           f"{agg:.1f} aggregate frames/s ({agg / 10.0:.1f}x realtime "
           f"sequences per chip)", file=sys.stderr)
+
+    # host/device split: step() wall = max(host feed, device chain) when
+    # pipelined; print both so a regression names its culprit
+    n_steps = max(getattr(coord, "_n_steps", 1), 1)
+    split = {k: round(v / n_steps * 1e3, 1) for k, v in coord.timing.items()}
+    print(f"[bench-serve] per-step host ms: {split}", file=sys.stderr)
+    lane_phases = {}
+    for v in vios:
+        for k, s in v.timing.items():
+            lane_phases[k] = lane_phases.get(k, 0.0) + s
+    lane_phases = {k: round(v / n_steps * 1e3, 1)
+                   for k, v in sorted(lane_phases.items())}
+    print(f"[bench-serve] per-step lane-summed host phases ms: {lane_phases}",
+          file=sys.stderr)
+    dev_ms = coord.device_steady_ms()
+    if dev_ms is not None:
+        print(f"[bench-serve] pure-device vmapped megastep: {dev_ms:.1f} "
+              f"ms/step ({B / dev_ms * 1e3:.1f} device-bound frames/s)",
+              file=sys.stderr)
 
     # MFU / HBM accounting: XLA's own cost model for one vmapped megastep
     # (all B lanes) times the measured step rate, against v5e peaks

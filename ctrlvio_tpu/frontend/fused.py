@@ -81,6 +81,12 @@ class FusedTracker:
         self.prev_live = np.zeros((N,), dtype=bool)
         self.prev_t_ns: Optional[int] = None
         self.next_id = 0
+        # epipolar (F-RANSAC) rejection state: slots the host gate killed —
+        # suppressed from publishing immediately, freed on the device at the
+        # next dispatch (≙ rejectWithF, `feature_tracker.cpp:201-235`)
+        self._kill = np.zeros((N,), dtype=bool)
+        self._suppress = np.zeros((N,), dtype=bool)
+        self.n_rejected = 0  # cumulative F-gate rejections (diagnostics)
 
         # device-resident state: (pyramid tuple, pts (N,2) f32, live (N,))
         self._dev = None
@@ -96,7 +102,7 @@ class FusedTracker:
             img = clahe_mod.clahe(img)
         return tuple(klt.pyramid(img, self.cfg.klt.levels))
 
-    def _megastep(self, img, pyr_prev, pts, live, M_rel):
+    def _megastep(self, img, pyr_prev, pts, live, M_rel, kill):
         """track -> refill free slots in-graph -> lift; returns new device
         state and a packed (N, 8) f32 host-bound array:
         [x, y, nx, ny, live, tracked, refilled, pad].
@@ -109,6 +115,7 @@ class FusedTracker:
         cfg = self.cfg
         pyr_cur = self._preprocess(img)
 
+        live = live & ~kill  # host F-gate kills free their slots here
         pts_in = jnp.where(live[:, None], pts, 0.0).astype(jnp.float32)
         # gyro-predicted initial flow: rotate the lifted ray, re-project
         rays = self.camera.lift(pts_in)
@@ -175,7 +182,9 @@ class FusedTracker:
             else np.asarray(R_rel, np.float32)
         pyr, pts, live = self._dev
         self._dev, packed = self._jit_step(imgd, pyr, pts, live,
-                                           jnp.asarray(M))
+                                           jnp.asarray(M),
+                                           jnp.asarray(self._kill))
+        self._kill = np.zeros((self.N,), dtype=bool)
         try:
             packed.copy_to_host_async()
         except Exception:
@@ -205,6 +214,8 @@ class FusedTracker:
         self.track_cnt[:] = 0
         self.prev_live[:] = False
         self.prev_t_ns = None
+        self._kill[:] = False
+        self._suppress[:] = False
 
     # ------------------------------------------------------------------
     def _consume(self, t_ns: int, packed):
@@ -214,6 +225,28 @@ class FusedTracker:
         live = p[:, 4] > 0.5
         tracked = p[:, 5] > 0.5
         refilled = p[:, 6] > 0.5
+
+        # epipolar outlier gate on the host (≙ rejectWithF,
+        # `feature_tracker.cpp:201-235`): features violating the dominant
+        # two-view geometry (e.g. tracks on independently moving objects)
+        # are suppressed from this frame's publication and their slots
+        # queued for the next dispatch's in-graph kill+refill
+        self._suppress &= ~refilled  # device refilled the slot: new feature
+        if self.cfg.reject_wf:
+            same = tracked & self.prev_live & ~self._suppress
+            idx = np.nonzero(same)[0]
+            if len(idx) >= 12:
+                from .fransac import reject_with_f
+
+                inl = reject_with_f(self.prev_norm[idx], norm[idx],
+                                    thresh_px=self.cfg.f_threshold)
+                bad = idx[~inl]
+                if len(bad):
+                    self._suppress[bad] = True
+                    self._kill[bad] = True
+                    self.n_rejected += len(bad)
+        live &= ~self._suppress
+        tracked &= ~self._suppress
 
         # id lifecycle on the host (slot identity makes this vectorizable)
         n_new = int(refilled.sum())

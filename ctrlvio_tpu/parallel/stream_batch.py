@@ -59,9 +59,18 @@ class BatchedStream:
         """Feed one frame per sequence; returns the per-sequence outputs of
         `process_frame`. Runs the single vmapped megastep once every
         instance has dispatched this frame."""
+        import time as _time
+
+        if not hasattr(self, "timing"):
+            from collections import defaultdict
+
+            self.timing = defaultdict(float)
         assert len(frames) == self.B
         self._slots = [None] * self.B
+        t0 = _time.perf_counter()
         outs = [v.process_frame(*f) for v, f in zip(self.vios, frames)]
+        t1 = _time.perf_counter()
+        self.timing["host_lanes"] += t1 - t0
 
         filled = [s is not None for s in self._slots]
         if not any(filled):
@@ -79,10 +88,36 @@ class BatchedStream:
         v0 = self.vios[0]
         self._last_args = (self._stacked, blobs, v0._ext, v0._gravity_j,
                            v0._imu_info, v0._sqrt_info_img)
+        t2 = _time.perf_counter()
+        self.timing["stack_upload"] += t2 - t1
         self._stacked, summaries = self._vmega(*self._last_args)
+        t3 = _time.perf_counter()
+        self.timing["dispatch"] += t3 - t2
         for i, v in enumerate(self.vios):
             v._stream_complete(summaries[i], self._slots[i][2])
+        self.timing["complete"] += _time.perf_counter() - t3
+        self._n_steps = getattr(self, "_n_steps", 0) + 1
         return outs
+
+    # ------------------------------------------------------------------
+    def device_steady_ms(self, reps: int = 20):
+        """Pure-device steady-state cost of one vmapped megastep: chain the
+        LAST step's blob through the jitted megastep `reps` times (state
+        feeding back, fully on device) and sync once. Separates chip time
+        from the host feed — the step() wall clock is max(host, device)
+        when pipelined."""
+        import time as _time
+
+        if getattr(self, "_last_args", None) is None:
+            return None
+        st, blobs, *rest = self._last_args
+        out = None
+        jax.block_until_ready(st)
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            st, out = self._vmega(st, blobs, *rest)
+        jax.block_until_ready(out)
+        return (_time.perf_counter() - t0) / reps * 1e3
 
     # ------------------------------------------------------------------
     def cost_analysis(self):
