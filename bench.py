@@ -311,6 +311,12 @@ def main():
         sys.exit(1)
 
     n_timed = max(len(frame_times), 1)
+    # SUSTAINED throughput = frames / wall over the timed region. The
+    # per-frame median understates stalls (the async stream's device queue
+    # backs up and the every-3rd-frame summary fetch absorbs the backlog in
+    # one long frame — a bimodal distribution whose median reads ~2x the
+    # sustainable rate); the sum is what a deployment actually gets.
+    sustained = n_timed / max(float(np.sum(frame_times)), 1e-9)
     phases = {k: round(v / n_timed * 1e3, 1) for k, v in vio.timing.items()}
     print(f"[bench] per-frame phase ms: {phases}", file=sys.stderr)
     if rms_trend:
@@ -331,15 +337,16 @@ def main():
         print(vio.residual_summary().report(), file=sys.stderr)
 
     per_frame = float(np.median(frame_times))
-    fps = 1.0 / per_frame
     print(f"[bench] median frame time {per_frame * 1e3:.1f} ms "
-          f"({fps:.1f} fps, keyframe rate 10 Hz)", file=sys.stderr)
+          f"({1.0 / per_frame:.1f} fps median); SUSTAINED "
+          f"{sustained:.1f} fps over {n_timed} frames (headline; "
+          f"keyframe rate 10 Hz)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "frames_per_sec_per_chip",
-        "value": round(fps, 2),
+        "value": round(sustained, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / 10.0, 2),
+        "vs_baseline": round(sustained / 10.0, 2),
     }))
 
 
@@ -485,9 +492,10 @@ def bench_image(args):
           f"estimator {t_est / n * 1e3:.1f} ms; estimator phases {phases}",
           file=sys.stderr)
     per_frame = float(np.median(frame_times))
-    fps = 1.0 / per_frame
+    fps = len(frame_times) / max(float(np.sum(frame_times)), 1e-9)
     print(f"[bench-image] median frame time {per_frame * 1e3:.1f} ms "
-          f"({fps:.1f} fps incl. front end, keyframe rate 10 Hz)",
+          f"({1.0 / per_frame:.1f} fps median); SUSTAINED {fps:.1f} fps "
+          f"incl. front end (headline; keyframe rate 10 Hz)",
           file=sys.stderr)
     print(json.dumps({
         "metric": "image_frames_per_sec_per_chip",
@@ -592,9 +600,13 @@ def bench_serve(args):
     if fail:
         print("[bench-serve] FAIL lane accuracy gates", file=sys.stderr)
         sys.exit(1)
+    # SUSTAINED aggregate = lanes * steps / wall (the median lockstep frame
+    # understates device-queue stalls absorbed by the periodic summary
+    # fetch — a bimodal distribution; deployments get the sum)
     per_step = float(np.median(times))
-    agg = B / per_step
-    print(f"[bench-serve] B={B}: {per_step * 1e3:.1f} ms/lockstep frame -> "
+    agg = B * len(times) / max(float(np.sum(times)), 1e-9)
+    print(f"[bench-serve] B={B}: {per_step * 1e3:.1f} ms/lockstep frame "
+          f"median, {float(np.mean(times)) * 1e3:.1f} ms mean -> SUSTAINED "
           f"{agg:.1f} aggregate frames/s ({agg / 10.0:.1f}x realtime "
           f"sequences per chip)", file=sys.stderr)
 

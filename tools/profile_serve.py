@@ -11,10 +11,13 @@ Usage:  python tools/profile_serve.py [--batch 16] [--reps 5]
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture_state(duration=6.0, warmup=10):
@@ -95,6 +98,8 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--logdir", default="/tmp/ctrlvio_serve_trace")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--sweep", action="store_true",
+                    help="time (untraced) a sweep of batch sizes, no trace")
     args = ap.parse_args()
 
     import jax
@@ -106,6 +111,30 @@ def main():
     vio, dev_state, blob = capture_state()
     print(f"[profile] captured steady state; backend={jax.default_backend()}",
           file=sys.stderr)
+
+    if args.sweep:
+        for B in (1, 2, 4, 8, 16):
+            stacked = jax.tree_util.tree_map(
+                lambda x: jnp.stack([x] * B), dev_state)
+            blobs = jnp.stack([jnp.asarray(blob)] * B)
+            vmega = jax.jit(jax.vmap(
+                partial(stream_mod.megastep, cfg=vio.wc, opts=vio._ba_opts),
+                in_axes=(0, 0, None, None, None, None)))
+            a = (vio._ext, vio._gravity_j, vio._imu_info, vio._sqrt_info_img)
+            st, out = stacked, None
+            for _ in range(3):
+                st, out = vmega(st, blobs, *a)
+            jax.block_until_ready(out)
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                st, out = vmega(st, blobs, *a)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / args.reps
+            print(f"[sweep] B={B:2d}: {dt * 1e3:7.1f} ms/step "
+                  f"({B / dt:6.1f} frames/s aggregate, "
+                  f"{dt / B * 1e3:6.2f} ms/lane)", flush=True)
+        return
+
     B = args.batch
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.stack([x] * B), dev_state)
