@@ -250,6 +250,143 @@ def linearize(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                          obs_valid=img_active, cost=cost)
 
 
+def _slice_tuple(t, k, Q):
+    """Slice factor slots [k*Q, (k+1)*Q) out of every field of a packed
+    factor NamedTuple (static offsets — Python-unrolled chunking)."""
+    return type(t)(*(f[k * Q : (k + 1) * Q] for f in t))
+
+
+@f32_matmuls
+def accumulate_normal_equations(params: WindowParams, img: ImageFactors,
+                                imu: ImuFactors, bias: BiasFactors,
+                                ext, gravity, imu_info, sqrt_info_img,
+                                cfg: WindowConfig, opts: SolveOptions,
+                                chunk: int = 128):
+    """Normal equations built by CHUNKED accumulation — the VMEM-resident
+    reformulation of `linearize` + `build_normal_equations`.
+
+    The dense-row path materializes J (R, C) plus (OBS, 4, 3, 3)-sized
+    Jacobian intermediates; under a vmapped serve batch those are tens of
+    MB, exceed the ~16 MB VMEM, and every op in the LM loop pays HBM spill
+    DMAs (profiled: 60-70%% of the step). Here factors are processed in
+    slot chunks of `chunk`: per-chunk intermediates are a few hundred KB
+    per lane, H/g accumulate across an unrolled Python loop, and nothing
+    of size (R, C) ever exists. Algebraically identical to the dense path
+    (same per-factor blocks, same masking semantics — column masks commute
+    with the accumulation).
+
+    Returns (H (C,C), g (C,), h_ll (LM,), g_l (LM,), H_cl (LM,C), cost)
+    WITHOUT the prior contribution — the prior's Gauss-Newton pieces are
+    constant across LM iterations and are hoisted out (see
+    `lm.solve_window`). Cost here is the robustified factor cost only.
+    """
+    dtype = params.knots_p.dtype
+    C, KW, NB, LM = cfg.C, cfg.KW, cfg.NB, cfg.LM
+    kw_iota = jnp.arange(KW, dtype=jnp.int32)
+    lm_iota = jnp.arange(LM, dtype=jnp.int32)
+    nb_iota = jnp.arange(NB, dtype=jnp.int32)
+
+    H = jnp.zeros((C, C), dtype)
+    g = jnp.zeros((C,), dtype)
+    h_ll = jnp.zeros((LM,), dtype)
+    g_l = jnp.zeros((LM,), dtype)
+    H_cl = jnp.zeros((LM, C), dtype)
+    cost = jnp.zeros((), dtype)
+
+    def knot_onehot(s):
+        return (kw_iota[None, None, :]
+                == (s[:, None, None]
+                    + jnp.arange(4, dtype=jnp.int32)[None, :, None])
+                ).astype(dtype)
+
+    def expand_knots(Jr, Jp, oh):
+        rot = jnp.einsum("nrkd,nkw->nrwd", Jr, oh).reshape(Jr.shape[0], -1, 3 * KW)
+        pos = jnp.einsum("nrkd,nkw->nrwd", Jp, oh).reshape(Jp.shape[0], -1, 3 * KW)
+        return rot, pos
+
+    # ---- image factors, chunked -----------------------------------------
+    Q = min(chunk, cfg.OBS)
+    assert cfg.OBS % Q == 0, "OBS must be a multiple of the chunk size"
+    for k in range(cfg.OBS // Q):
+        ic = _slice_tuple(img, k, Q)
+        (r_i, J_ri, J_pi, J_rj, J_pj, J_d, J_ld, s_i, s_j) = _image_blocks(
+            params, ic, ext, cfg, opts, sqrt_info_img)
+        w, cost_i = _cauchy_weight_and_cost(jnp.sum(r_i * r_i, -1),
+                                            opts.cauchy_c)
+        m = ic.valid.astype(dtype)
+        w = w * m
+        cost = cost + 0.5 * jnp.sum(cost_i * m)
+
+        oh_i = knot_onehot(s_i)
+        oh_j = knot_onehot(s_j)
+        rot_i, pos_i = expand_knots(J_ri, J_pi, oh_i)
+        rot_j, pos_j = expand_knots(J_rj, J_pj, oh_j)
+        w2 = w[:, None, None]
+        rows = jnp.concatenate(
+            [(rot_i + rot_j) * w2, (pos_i + pos_j) * w2,
+             jnp.zeros((Q, 2, 6 * NB), dtype),
+             (J_ld * w[:, None])[..., None]], axis=2)     # (Q, 2, C)
+        rw = r_i * w[:, None]                              # (Q, 2)
+
+        H = H + jnp.einsum("qrc,qrd->cd", rows, rows)
+        g = g + jnp.einsum("qrc,qr->c", rows, rw)
+
+        Jl = J_d * w[:, None]                              # (Q, 2)
+        oh_lm = (lm_iota[None, :] == ic.lm_idx[:, None]).astype(dtype)
+        h_ll = h_ll + oh_lm.T @ jnp.sum(Jl * Jl, -1)
+        g_l = g_l + oh_lm.T @ jnp.sum(Jl * rw, -1)
+        W = jnp.einsum("qr,qrc->qc", Jl, rows)             # (Q, C)
+        H_cl = H_cl + oh_lm.T @ W
+
+    # ---- IMU factors, chunked -------------------------------------------
+    QM = min(chunk, cfg.MIMU)
+    assert cfg.MIMU % QM == 0
+    for k in range(cfg.MIMU // QM):
+        mc = _slice_tuple(imu, k, QM)
+        r_m, J_mr, J_mp, J_mbg, J_mba, s_m = _imu_blocks(
+            params, mc, gravity, imu_info, cfg)
+        mm = mc.valid.astype(dtype)
+        cost = cost + 0.5 * jnp.sum((r_m * mm[:, None]) ** 2)
+        oh_m = knot_onehot(s_m)
+        rot_m, pos_m = expand_knots(J_mr, J_mp, oh_m)
+        oh_b = (nb_iota[None, :] == mc.bias_idx[:, None]).astype(dtype)
+        bg_m = jnp.einsum("nrd,nb->nrbd", J_mbg, oh_b).reshape(QM, 6, 3 * NB)
+        ba_m = jnp.einsum("nrd,nb->nrbd", J_mba, oh_b).reshape(QM, 6, 3 * NB)
+        rows = jnp.concatenate(
+            [rot_m, pos_m, bg_m, ba_m,
+             jnp.zeros((QM, 6, 1), dtype)], axis=2) * mm[:, None, None]
+        rw = r_m * mm[:, None]
+        H = H + jnp.einsum("qrc,qrd->cd", rows, rows)
+        g = g + jnp.einsum("qrc,qr->c", rows, rw)
+
+    # ---- bias pair factors (tiny, direct) --------------------------------
+    rb = jax.vmap(F.bias_residual)(
+        params.bg[:-1], params.bg[1:], params.ba[:-1], params.ba[1:],
+        bias.sqrt_info)
+    mb = bias.valid.astype(dtype)
+    cost = cost + 0.5 * jnp.sum((rb * mb[:, None]) ** 2)
+    si = bias.sqrt_info * mb[:, None]
+    pair = jnp.arange(NB - 1, dtype=jnp.int32)
+    oh_bi = (nb_iota[None, :] == pair[:, None]).astype(dtype)
+    oh_bj = (nb_iota[None, :] == pair[:, None] + 1).astype(dtype)
+    eye3 = jnp.eye(3, dtype=dtype)
+    bg_rows = (jnp.einsum("pd,pb->pdb", si[:, :3], oh_bj - oh_bi)[:, :, :, None]
+               * eye3[None, :, None, :]).reshape(NB - 1, 3, 3 * NB)
+    ba_rows = (jnp.einsum("pd,pb->pdb", si[:, 3:], oh_bj - oh_bi)[:, :, :, None]
+               * eye3[None, :, None, :]).reshape(NB - 1, 3, 3 * NB)
+    zKW = jnp.zeros((NB - 1, 3, 6 * KW), dtype)
+    z3NB = jnp.zeros((NB - 1, 3, 3 * NB), dtype)
+    z1 = jnp.zeros((NB - 1, 3, 1), dtype)
+    rows_b = jnp.concatenate([
+        jnp.concatenate([zKW, bg_rows, z3NB, z1], axis=2),
+        jnp.concatenate([zKW, z3NB, ba_rows, z1], axis=2)], axis=1)
+    rwb = rb * mb[:, None]
+    H = H + jnp.einsum("qrc,qrd->cd", rows_b, rows_b)
+    g = g + jnp.einsum("qrc,qr->c", rows_b, rwb)
+
+    return H, g, h_ll, g_l, H_cl, cost
+
+
 @f32_matmuls
 def residual_rms(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                  bias: BiasFactors, prior: PriorFactor, ext, gravity,

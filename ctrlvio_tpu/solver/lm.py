@@ -29,8 +29,8 @@ from ctrlvio_tpu.utils.precision import f32_matmuls
 
 from . import assemble
 from .layout import (BiasFactors, ImageFactors, ImuFactors, PriorFactor,
-                     SolveOptions, WindowConfig, WindowParams, column_mask,
-                     retract)
+                     SolveOptions, WindowConfig, WindowParams, boxminus_full,
+                     column_mask, retract)
 
 
 class SolveStats(NamedTuple):
@@ -104,6 +104,12 @@ def solve_window(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     fixed_knots: (KW,) bool — knots held constant
     (≙ `SetFixedIndex`/`AddControlPoints` constancy,
     `trajectory_estimator.cpp:114-141`).
+
+    Normal equations come from the chunked VMEM-resident accumulation
+    (`assemble.accumulate_normal_equations`) — no (R, C) Jacobian is ever
+    materialized in the iteration loop — and the prior's constant
+    Gauss-Newton pieces (H_p = (Jm)ᵀ(Jm), (Jm)ᵀr0, (Jm)ᵀJ) are hoisted out
+    of the loop entirely: per iteration the prior costs one (C,C) matvec.
     """
     dtype = params.knots_p.dtype
     cmask = column_mask(cfg, opts, fixed_knots).astype(dtype)
@@ -113,6 +119,12 @@ def solve_window(params: WindowParams, img: ImageFactors, imu: ImuFactors,
         img.valid.astype(jnp.int32))
     lm_mask = (lm_used > 0).astype(dtype)
 
+    # hoisted prior pieces (constant across iterations)
+    Pm = prior.J * cmask[None, :]
+    H_p = Pm.T @ Pm
+    g_p0 = Pm.T @ prior.r0
+    A_p = Pm.T @ prior.J  # for g_p(dx) = g_p0 + A_p @ dx
+
     def cost_fn(p):
         return assemble.total_cost(p, img, imu, bias, prior, ext, gravity,
                                    imu_info, sqrt_info_img, cfg, opts)
@@ -121,9 +133,15 @@ def solve_window(params: WindowParams, img: ImageFactors, imu: ImuFactors,
 
     def body(carry):
         p, lam, cost, n_acc, it, _ = carry
-        lin = assemble.linearize(p, img, imu, bias, prior, ext, gravity,
-                                 imu_info, sqrt_info_img, cfg, opts)
-        H, g, h_ll, g_l, H_cl = build_normal_equations(lin, cfg, cmask)
+        H, g, h_ll, g_l, H_cl, _ = assemble.accumulate_normal_equations(
+            p, img, imu, bias, ext, gravity, imu_info, sqrt_info_img, cfg,
+            opts)
+        # column masking commutes with the accumulation: J·m ⇒ m⊙H⊙m, m·g
+        H = H * cmask[:, None] * cmask[None, :] + H_p
+        dx0 = boxminus_full(p, prior.knots_q0, prior.knots_p0, prior.bg0,
+                            prior.ba0, prior.ld0, cfg)
+        g = g * cmask + g_p0 + A_p @ dx0
+        H_cl = H_cl * cmask[None, :]
         dx, dx_lm = schur_solve(H, g, h_ll, g_l, H_cl, lam, cmask)
         trial = retract(p, dx, cfg, opts)
         new_dinv = p.dinv + dx_lm * lm_mask

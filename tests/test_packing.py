@@ -108,6 +108,7 @@ def test_estimator_entry_points_pin_f32_matmuls():
         stream.megastep,
         lm.solve_window, lm.build_normal_equations, lm.schur_solve,
         assemble.linearize, assemble.total_cost,
+        assemble.accumulate_normal_equations, assemble.residual_rms,
         marginalize.build_prior, marginalize.build_prior_sqrt,
     ]
     for fn in entry_points:

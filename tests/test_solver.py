@@ -112,6 +112,51 @@ def test_linearize_shapes_and_finiteness(problem):
     assert float(lin.cost) > 0
 
 
+def test_chunked_normal_equations_match_dense(problem):
+    """The VMEM-resident chunked accumulation must reproduce the dense-row
+    path's (H, g, h_ll, g_l, H_cl, cost) — including the hoisted prior and
+    column-mask commutation — to float64 roundoff."""
+    from ctrlvio_tpu.solver.layout import boxminus_full, column_mask
+
+    cfg, sim, img, imu, bias, params0, kq_gt, kp_gt, aux = problem
+    opts = SolveOptions()
+    prior = aux["prior"]._replace(
+        J=jnp.asarray(np.random.default_rng(3).normal(
+            size=(cfg.C, cfg.C)) * 0.05),
+        r0=jnp.asarray(np.random.default_rng(4).normal(size=(cfg.C,))))
+    cmask = column_mask(cfg, opts, aux["fixed"]).astype(jnp.float64)
+
+    lin = assemble.linearize(params0, img, imu, bias, prior, aux["ext"],
+                             aux["gravity"], aux["imu_info"],
+                             aux["sqrt_info_img"], cfg, opts)
+    H_d, g_d, hll_d, gl_d, Hcl_d = lm.build_normal_equations(lin, cfg, cmask)
+
+    H, g, hll, gl, Hcl, cost = assemble.accumulate_normal_equations(
+        params0, img, imu, bias, aux["ext"], aux["gravity"],
+        aux["imu_info"], aux["sqrt_info_img"], cfg, opts)
+    Pm = prior.J * cmask[None, :]
+    dx0 = boxminus_full(params0, prior.knots_q0, prior.knots_p0, prior.bg0,
+                        prior.ba0, prior.ld0, cfg)
+    H_f = H * cmask[:, None] * cmask[None, :] + Pm.T @ Pm
+    g_f = g * cmask + Pm.T @ prior.r0 + (Pm.T @ prior.J) @ dx0
+    Hcl_f = Hcl * cmask[None, :]
+
+    scale = float(jnp.max(jnp.abs(H_d))) + 1e-30
+    assert float(jnp.max(jnp.abs(H_f - H_d))) / scale < 1e-12
+    assert float(jnp.max(jnp.abs(g_f - g_d))) / (
+        float(jnp.max(jnp.abs(g_d))) + 1e-30) < 1e-12
+    np.testing.assert_allclose(np.asarray(hll), np.asarray(hll_d), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gl_d),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(Hcl_f), np.asarray(Hcl_d),
+                               rtol=1e-9, atol=1e-11)
+    # factor-only cost + prior quadratic = linearize's robust cost
+    r_pr = prior.r0 + prior.J @ dx0
+    np.testing.assert_allclose(
+        float(cost) + 0.5 * float(jnp.sum(r_pr * r_pr)),
+        float(lin.cost), rtol=1e-12)
+
+
 def test_gauss_newton_direction_reduces_cost(problem):
     cfg, sim, img, imu, bias, params0, kq_gt, kp_gt, aux = problem
     opts = SolveOptions(max_iters=1)
