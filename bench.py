@@ -140,6 +140,12 @@ def main():
                          "through one vmapped megastep")
     ap.add_argument("--batch-size", type=int, default=8,
                     help="sequences per chip for --mode serve")
+    ap.add_argument("--scene", choices=["textured", "blobs"],
+                    default="textured",
+                    help="--mode image world: 'textured' ray-casts a "
+                         "texture-mapped room (tracker finds its own "
+                         "corners; occluders + photometric drift), 'blobs' "
+                         "draws Gaussian dots at landmark projections")
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--seed", type=int, default=3)
     ap.add_argument("--bootstrap", choices=["visual", "gt"], default="visual",
@@ -394,21 +400,34 @@ def bench_image(args):
     dtype = np.float32 if on_tpu else np.float64
 
     print(f"[bench-image] rendering {duration:.0f}s of {W}x{H} "
-          "Kannala-Brandt rolling-shutter imagery...", file=sys.stderr,
-          flush=True)
+          f"Kannala-Brandt rolling-shutter imagery ({args.scene})...",
+          file=sys.stderr, flush=True)
     # IMU noise at the reference operating point; pixel noise comes from
     # the real CLAHE->KLT tracking of the rendered imagery, not the sim
     img_noise = {} if args.noiseless else {
         k: v for k, v in synthetic.REFERENCE_NOISE.items()
         if k != "pixel_noise"}
     sim = synthetic.generate(synthetic.SimConfig(
-        duration=duration, n_landmarks=1500, seed=args.seed,
+        duration=duration, n_landmarks=(300 if args.scene == "textured"
+                                        else 1500), seed=args.seed,
         image_h=H, image_w=W, **img_noise))
-    imgs = render.render_sequence(sim, H, W, camera=cam, seed=1,
-                                  big_every=6, texture=6.0)
+    if args.scene == "textured":
+        # texture-mapped world: ray-cast box room + occluder quads,
+        # photometric drift, vignette, pixel noise — the tracker finds and
+        # keeps its own corners on real texture (nothing is drawn at
+        # landmark projections)
+        imgs = render.render_textured_sequence(
+            sim, H, W, cam, seed=1, n_occluders=4,
+            occluder_speed=(0.0 if args.noiseless else 0.4),
+            photometric=not args.noiseless,
+            pixel_noise=(0.0 if args.noiseless else 2.0))
+    else:
+        imgs = render.render_sequence(sim, H, W, camera=cam, seed=1,
+                                      big_every=6, texture=6.0)
 
     tcfg = TrackerConfig(  # cam_tumrs.yaml tracker block
         max_cnt=150, min_dist=25, use_clahe=True, fb_check=True,
+        reject_wf=(args.scene == "textured"), f_threshold=1.0,
         use_pallas=on_tpu, klt=KLTConfig(pred_levels=3))
     tracker = FusedTracker(tcfg, cam, (H, W), lag=1 if on_tpu else 0)
 
@@ -479,7 +498,8 @@ def bench_image(args):
     ld_err = abs(vio.traj.line_delay - sim.cfg.line_delay)
     print(f"[bench-image] frames={len(est)} ATE={err * 100:.2f} cm "
           f"ld={vio.traj.line_delay * 1e6:.2f} us "
-          f"(true {sim.cfg.line_delay * 1e6:.2f}, err {ld_err * 1e6:.2f} us)",
+          f"(true {sim.cfg.line_delay * 1e6:.2f}, err {ld_err * 1e6:.2f} us); "
+          f"F-gate rejected {tracker.n_rejected} outlier tracks",
           file=sys.stderr)
     if err > 0.15 or ld_err > 5e-6:
         print("[bench-image] FAIL accuracy gates (ATE<0.15m, ld_err<5us)",

@@ -197,10 +197,11 @@ def _sample_bilinear(tex: np.ndarray, u, v):
     res = tex.shape[0]
     u = np.mod(u, res)
     v = np.mod(v, res)
-    i0 = u.astype(np.int32)
-    j0 = v.astype(np.int32)
-    fu = (u - i0).astype(np.float32)
-    fv = (v - j0).astype(np.float32)
+    # f32 mod can return exactly `res` for tiny negative inputs
+    i0 = np.minimum(np.floor(u).astype(np.int32), res - 1) % res
+    j0 = np.minimum(np.floor(v).astype(np.int32), res - 1) % res
+    fu = np.clip(u - i0, 0.0, 1.0).astype(np.float32)
+    fv = np.clip(v - j0, 0.0, 1.0).astype(np.float32)
     i1 = (i0 + 1) % res
     j1 = (j0 + 1) % res
     return (tex[j0, i0] * (1 - fu) * (1 - fv) + tex[j0, i1] * fu * (1 - fv)
