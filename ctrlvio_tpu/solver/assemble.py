@@ -250,10 +250,10 @@ def linearize(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                          obs_valid=img_active, cost=cost)
 
 
-def _slice_tuple(t, k, Q):
-    """Slice factor slots [k*Q, (k+1)*Q) out of every field of a packed
-    factor NamedTuple (static offsets — Python-unrolled chunking)."""
-    return type(t)(*(f[k * Q : (k + 1) * Q] for f in t))
+def _chunk_tuple(t, Q):
+    """Reshape every field of a packed factor NamedTuple from (N, ...) to
+    (N//Q, Q, ...) for lax.scan chunking."""
+    return type(t)(*(f.reshape(f.shape[0] // Q, Q, *f.shape[1:]) for f in t))
 
 
 @f32_matmuls
@@ -304,11 +304,12 @@ def accumulate_normal_equations(params: WindowParams, img: ImageFactors,
         pos = jnp.einsum("nrkd,nkw->nrwd", Jp, oh).reshape(Jp.shape[0], -1, 3 * KW)
         return rot, pos
 
-    # ---- image factors, chunked -----------------------------------------
+    # ---- image factors, chunked (lax.scan: one traced body) -------------
     Q = min(chunk, cfg.OBS)
     assert cfg.OBS % Q == 0, "OBS must be a multiple of the chunk size"
-    for k in range(cfg.OBS // Q):
-        ic = _slice_tuple(img, k, Q)
+
+    def img_body(carry, ic):
+        H, g, h_ll, g_l, H_cl, cost = carry
         (r_i, J_ri, J_pi, J_rj, J_pj, J_d, J_ld, s_i, s_j) = _image_blocks(
             params, ic, ext, cfg, opts, sqrt_info_img)
         w, cost_i = _cauchy_weight_and_cost(jnp.sum(r_i * r_i, -1),
@@ -337,12 +338,17 @@ def accumulate_normal_equations(params: WindowParams, img: ImageFactors,
         g_l = g_l + oh_lm.T @ jnp.sum(Jl * rw, -1)
         W = jnp.einsum("qr,qrc->qc", Jl, rows)             # (Q, C)
         H_cl = H_cl + oh_lm.T @ W
+        return (H, g, h_ll, g_l, H_cl, cost), None
+
+    (H, g, h_ll, g_l, H_cl, cost), _ = jax.lax.scan(
+        img_body, (H, g, h_ll, g_l, H_cl, cost), _chunk_tuple(img, Q))
 
     # ---- IMU factors, chunked -------------------------------------------
     QM = min(chunk, cfg.MIMU)
     assert cfg.MIMU % QM == 0
-    for k in range(cfg.MIMU // QM):
-        mc = _slice_tuple(imu, k, QM)
+
+    def imu_body(carry, mc):
+        H, g, cost = carry
         r_m, J_mr, J_mp, J_mbg, J_mba, s_m = _imu_blocks(
             params, mc, gravity, imu_info, cfg)
         mm = mc.valid.astype(dtype)
@@ -358,6 +364,10 @@ def accumulate_normal_equations(params: WindowParams, img: ImageFactors,
         rw = r_m * mm[:, None]
         H = H + jnp.einsum("qrc,qrd->cd", rows, rows)
         g = g + jnp.einsum("qrc,qr->c", rows, rw)
+        return (H, g, cost), None
+
+    (H, g, cost), _ = jax.lax.scan(
+        imu_body, (H, g, cost), _chunk_tuple(imu, QM))
 
     # ---- bias pair factors (tiny, direct) --------------------------------
     rb = jax.vmap(F.bias_residual)(
