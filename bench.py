@@ -148,6 +148,15 @@ def main():
                          "draws Gaussian dots at landmark projections")
     ap.add_argument("--duration", type=float, default=None)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--gt", choices=["spline", "fine", "lissajous"],
+                    default="spline",
+                    help="GT trajectory family (anti-inverse-crime "
+                         "controls): 'spline' = same order-4/0.05s family "
+                         "the estimator fits; 'fine' = 0.01s-knot spline "
+                         "(out of the estimator's basis); 'lissajous' = "
+                         "analytic C-inf curve (not a B-spline at all)")
+    ap.add_argument("--speed", type=float, default=1.0,
+                    help="motion-intensity multiplier on the GT dynamics")
     ap.add_argument("--bootstrap", choices=["visual", "gt"], default="visual",
                     help="visual: full self-bootstrap (SfM + VI alignment, "
                          "like the reference); gt: ground-truth init")
@@ -210,7 +219,12 @@ def main():
     print(f"[bench] backend={jax.default_backend()} devices={jax.devices()}",
           file=sys.stderr)
 
-    sim_kw = dict(duration=duration, n_landmarks=300, seed=args.seed)
+    sim_kw = dict(duration=duration, n_landmarks=300, seed=args.seed,
+                  speed=args.speed)
+    if args.gt == "fine":
+        sim_kw["gt_knot_dt"] = 0.01
+    elif args.gt == "lissajous":
+        sim_kw["gt_family"] = "lissajous"
     sim_cfg = (synthetic.SimConfig(**sim_kw) if args.noiseless
                else synthetic.reference_noise(**sim_kw))
     sim = synthetic.generate(sim_cfg)
@@ -353,6 +367,10 @@ def main():
         "value": round(sustained, 2),
         "unit": "fps",
         "vs_baseline": round(sustained / 10.0, 2),
+        "ate_online_cm": round(err * 100, 3),
+        "ate_posthoc_cm": round(err_post * 100, 3),
+        "ld_err_us": round(ld_err * 1e6, 3),
+        "gt": args.gt, "seed": args.seed, "speed": args.speed,
     }))
 
 

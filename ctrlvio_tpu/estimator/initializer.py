@@ -200,15 +200,11 @@ def bootstrap_from_sim(sim, t0_ns: Optional[int] = None) -> InitialState:
     if t0_ns is None:
         t0_ns = sim.frames[0].t_ns
     q, p = sim.pose_at(t0_ns * 1e-9)
-    # ground-truth velocity at t0 from the spline derivative
-    from ctrlvio_tpu.sim.synthetic import grid_coords
-    from ctrlvio_tpu.ops import spline as spl
-    from ctrlvio_tpu.utils.hostmath import on_cpu
-
-    i0, u = grid_coords(t0_ns * 1e-9, sim.cfg.knot_dt)
-    with on_cpu():
-        v = np.asarray(spl.rd_eval(jnp.asarray(sim.knots_p[i0 : i0 + 4]),
-                                   jnp.asarray(u), 1.0 / sim.cfg.knot_dt, 1))
+    # ground-truth velocity at t0: f64 central difference of the exact GT
+    # evaluator (family-agnostic — GT need not be an estimator-grid spline)
+    h = 1e-4
+    t0 = t0_ns * 1e-9
+    v = (sim.pose_at(t0 + h)[1] - sim.pose_at(t0 - h)[1]) / (2 * h)
     return InitialState(
         t_ns=int(t0_ns), q=np.asarray(q), p=np.asarray(p),
         bg=sim.bg.copy(), ba=sim.ba.copy(), gravity=sim.gravity_vec.copy(),

@@ -106,14 +106,17 @@ def worker(process_id: int, num_processes: int, local_devices: int,
 
 def launch(num_processes: int = 2, local_devices: int = 4,
            port: int = 39713, timeout: float = 600.0,
-           bench_iters: int = 0, pin_cores: bool = False) -> str:
+           bench_iters: int = 0, pin_cores: bool = False,
+           core_map=None) -> str:
     """Spawn the worker processes and wait for success. Returns process-0
     output (contains the [multihost-bench] line when bench_iters > 0).
 
     pin_cores: give each worker ONE core (taskset) so the scaling curve
     isolates coordination overhead — without it, XLA CPU's intra-op thread
     pool makes a single process consume every core and the curve measures
-    core contention instead."""
+    core contention instead.
+    core_map: optional explicit worker->core list (overrides the default
+    pid%n_cores assignment; used by the contention-isolation experiments)."""
     coordinator = f"localhost:{port}"
     procs = []
     env = dict(os.environ)
@@ -124,7 +127,9 @@ def launch(num_processes: int = 2, local_devices: int = 4,
                "--local-devices", str(local_devices),
                "--coordinator", coordinator,
                "--bench-iters", str(bench_iters)]
-        if pin_cores:
+        if core_map is not None:
+            cmd = ["taskset", "-c", str(core_map[pid])] + cmd
+        elif pin_cores:
             cmd = ["taskset", "-c", str(pid % n_cores)] + cmd
         procs.append(subprocess.Popen(
             cmd, env=env, stdout=subprocess.PIPE,
@@ -141,11 +146,12 @@ def launch(num_processes: int = 2, local_devices: int = 4,
 
 def scaling(process_counts=(1, 2, 4), local_devices: int = 1,
             bench_iters: int = 40, port_base: int = 39741,
-            repeats: int = 2) -> dict:
+            repeats: int = 2, core_maps=None) -> dict:
     """Weak-scaling efficiency curve over process counts: one window per
     device, so ideal scaling keeps wps/process constant. Each point takes
     the best of `repeats` launches (the per-launch measurement window is
     seconds; transient scheduler noise otherwise dominates the ratio).
+    core_maps: optional {procs: core list} explicit pinnings.
     Returns {procs: (wps, efficiency_vs_1proc)}."""
     import re
 
@@ -155,7 +161,8 @@ def scaling(process_counts=(1, 2, 4), local_devices: int = 1,
         wps = 0.0
         for r in range(repeats):
             out = launch(n, local_devices, port=port_base + 2 * i + r,
-                         bench_iters=bench_iters, pin_cores=True)
+                         bench_iters=bench_iters, pin_cores=True,
+                         core_map=(core_maps or {}).get(n))
             m = re.search(r"wps=([0-9.]+)", out)
             wps = max(wps, float(m.group(1)))
         per = wps / n
@@ -171,22 +178,45 @@ def scaling_artifact(path: str = None, bench_iters: int = 20) -> dict:
     """Run the weak-scaling matrix and write a machine-checkable JSON
     artifact (SCALING.json by default, next to MULTICHIP_r*.json):
 
-    - 1/2/4 processes x 1 device (the DCN-protocol-overhead curve), and
-    - 1/2 processes x 2 devices (per-process work doubled on the same
-      pinned core): if THIS 2-proc point also holds >=0.8, the 4x1 drop is
-      host core contention (4 workers + coordinator on a 4-core box), not
-      protocol overhead — the corroboration VERDICT r3 asked for.
+    - 1/2/3/4 processes x 1 device (the DCN-protocol-overhead curve). The
+      3-proc point leaves one core free for the coordinator service threads
+      + OS: if eff(3) holds >=0.8 while eff(4) drops, the 4-proc knee is
+      exactly where cores run out — host contention, not protocol.
+    - 1/2/4 processes x 2 devices (per-process work doubled on the same
+      pinned core): protocol overhead is constant per step, so if
+      efficiency RECOVERS with bigger work quanta the overhead is a fixed
+      host tax, not a per-byte protocol cost.
+    - contention control: 2 processes deliberately pinned to the SAME core
+      — calibrates what pure core contention does to this workload
+      (expected ~0.5; protocol overhead at 2 procs is separately known
+      from the clean 2-proc point).
 
     North star: >=80% efficiency at 2+ hosts (BASELINE.md:34)."""
     import json
+    import re
     import time
 
     n_cores = os.cpu_count() or 1
-    counts = tuple(n for n in (1, 2, 4) if n <= n_cores)
+    counts = tuple(n for n in (1, 2, 3, 4) if n <= n_cores)
+    # leave core 0 (the busiest: OS + coordinator gRPC) free below full
+    # occupancy: procs 1..n map to cores n_cores-1 downward
+    maps = {n: [n_cores - 1 - i for i in range(n)] for n in counts
+            if n < n_cores}
     curve_1dev = scaling(counts, local_devices=1, bench_iters=bench_iters,
-                         port_base=39741)
-    curve_2dev = scaling((1, 2), local_devices=2, bench_iters=bench_iters,
-                         port_base=39771)
+                         port_base=39741, core_maps=maps)
+    curve_2dev = scaling(tuple(n for n in (1, 2, 4) if n <= n_cores),
+                         local_devices=2, bench_iters=bench_iters,
+                         port_base=39771, core_maps=maps)
+    # contention control: both workers on one core
+    wps_ctl = 0.0
+    for r in range(2):
+        out = launch(2, 1, port=39791 + r, bench_iters=bench_iters,
+                     pin_cores=True, core_map=[n_cores - 1, n_cores - 1])
+        m = re.search(r"wps=([0-9.]+)", out)
+        wps_ctl = max(wps_ctl, float(m.group(1)))
+    eff_ctl = (wps_ctl / 2) / (curve_1dev[1][0] / 1)
+    print(f"[scaling] contention control (2 procs, ONE core): "
+          f"{wps_ctl:.2f} windows/s, efficiency {eff_ctl:.2f}", flush=True)
     art = {
         "what": "weak-scaling efficiency, jax.distributed multi-process CPU "
                 "(protocol-true DCN stand-in; pods unavailable), one pinned "
@@ -199,6 +229,12 @@ def scaling_artifact(path: str = None, bench_iters: int = 20) -> dict:
         "x2dev": {str(n): {"windows_per_s": round(w, 2),
                            "efficiency": round(e, 3)}
                   for n, (w, e) in curve_2dev.items()},
+        "contention_control_2procs_1core": {
+            "windows_per_s": round(wps_ctl, 2),
+            "efficiency": round(eff_ctl, 3),
+            "reads": "pure core-contention calibration: two workers "
+                     "sharing one core",
+        },
         "north_star": ">=0.80 efficiency at 2+ processes (BASELINE.md:34)",
     }
     if path is None:

@@ -87,7 +87,6 @@ def render_sequence(sim, H: int, W: int, fx: float = None, fy: float = None,
         from ctrlvio_tpu.models.cameras import Pinhole
 
         camera = Pinhole(fx, fy, cx, cy)
-    from ctrlvio_tpu.sim.synthetic import _batched_pose
 
     rng = np.random.default_rng(seed)
     lm = np.asarray(sim.landmarks, np.float64)
@@ -102,7 +101,6 @@ def render_sequence(sim, H: int, W: int, fx: float = None, fy: float = None,
         so3np.quat_exp(np.asarray(sim.cfg.ext_rot, np.float64)[None]))[0]
     p_CinI = np.asarray(sim.cfg.ext_pos, np.float64)
     ld = sim.cfg.line_delay
-    dt = sim.cfg.knot_dt
     cy0 = getattr(camera, "cy", None) or getattr(camera, "v0", H / 2)
 
     r_small = int(np.ceil(3 * blob_sigma))
@@ -118,8 +116,7 @@ def render_sequence(sim, H: int, W: int, fx: float = None, fy: float = None,
 
     def project_frame(t_rows):
         """Project all landmarks at per-landmark exposure times."""
-        q, p, _, _ = _batched_pose(sim.knots_q, sim.knots_p,
-                                   np.clip(t_rows, 0.0, None), dt)
+        q, p, _, _ = sim.poses_at(np.clip(t_rows, 0.0, None))
         R = so3np.quat_to_matrix(q)  # (L,3,3) IMU->world
         Xi = np.einsum("nji,nj->ni", R, lm - p)  # R^T (lm - p)
         Xc = (Xi - p_CinI) @ R_CtoI  # rowwise R_CtoI^T (Xi - p)
@@ -398,14 +395,12 @@ def render_textured_sequence(sim, H: int, W: int, camera,
     if world is None:
         world = make_world(sim, seed=seed, n_occluders=n_occluders,
                            occluder_speed=occluder_speed)
-    from ctrlvio_tpu.sim.synthetic import _batched_pose
 
     rng = np.random.default_rng(seed + 17)
     R_CtoI = so3np.quat_to_matrix(
         so3np.quat_exp(np.asarray(sim.cfg.ext_rot, np.float64)[None]))[0]
     p_CinI = np.asarray(sim.cfg.ext_pos, np.float64)
     ld = sim.cfg.line_delay
-    dt = sim.cfg.knot_dt
     dirs_cam = _unproject_np(camera, H, W)          # (H, W, 3) f32
 
     # fixed vignette
@@ -420,7 +415,7 @@ def render_textured_sequence(sim, H: int, W: int, camera,
     for fidx, fr in enumerate(sim.frames):
         t0 = fr.t_ns * 1e-9
         t_rows = t0 + v_rows * ld
-        q, p, _, _ = _batched_pose(sim.knots_q, sim.knots_p, t_rows, dt)
+        q, p, _, _ = sim.poses_at(t_rows)
         R_i2w = so3np.quat_to_matrix(q)               # (H, 3, 3)
         R_c2w = (R_i2w @ R_CtoI).astype(np.float32)   # (H, 3, 3)
         c_w = (p + np.einsum("nij,j->ni", R_i2w, p_CinI)).astype(np.float32)

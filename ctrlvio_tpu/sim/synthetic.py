@@ -69,6 +69,19 @@ class SimConfig:
     # camera-IMU extrinsics
     ext_rot: tuple = (0.02, -0.01, 0.015)  # so3 log of R_CtoI
     ext_pos: tuple = (0.007, -0.057, -0.042)
+    # --- ground-truth trajectory family (anti-inverse-crime controls) ----
+    # The estimator fits an order-4 B-spline at `knot_dt`; validating only
+    # against GT from that same family is an inverse crime. Alternatives:
+    #   "spline"    — default: smoothed random-walk knots at `gt_knot_dt`
+    #                 (set gt_knot_dt < knot_dt, e.g. 0.01, for GT with
+    #                 spectral content the estimator's basis cannot
+    #                 represent exactly)
+    #   "lissajous" — analytic C-infinity curve (incommensurate-frequency
+    #                 sinusoids in position and rotation vector): not a
+    #                 B-spline of ANY knot spacing
+    gt_family: str = "spline"
+    gt_knot_dt: float = None  # GT spline knot spacing (None -> knot_dt)
+    speed: float = 1.0        # motion-intensity multiplier (excites / freqs)
 
 
 # The reference's operating condition: its whole estimation machinery —
@@ -115,17 +128,25 @@ class SimData:
     gravity_vec: np.ndarray = None
     bg: np.ndarray = None
     ba: np.ndarray = None
+    # exact GT evaluator ts -> (q, p, w_body, acc_world); set by generate()
+    # for every family (for non-default families the knots_q/knots_p above
+    # are only a coarse summary for landmark placement / scene bounds)
+    gt_pose_fn: object = None
+
+    def poses_at(self, ts):
+        """Vectorized exact GT at times ts (seconds).
+
+        Returns (q (N,4), p (N,3), w_body (N,3), acc_world (N,3))."""
+        ts = np.atleast_1d(np.asarray(ts, np.float64))
+        if self.gt_pose_fn is not None:
+            return self.gt_pose_fn(ts)
+        return _batched_pose(self.knots_q, self.knots_p, ts,
+                             self.cfg.knot_dt)
 
     def pose_at(self, t_sec):
         """GT IMU pose at time t (seconds). Returns (quat, pos). Numpy."""
-        from ctrlvio_tpu.ops import so3np
-
-        i0, u = grid_coords(np.asarray(t_sec), self.cfg.knot_dt)
-        q4 = self.knots_q[i0 : i0 + 4]
-        p4 = self.knots_p[i0 : i0 + 4]
-        q = so3np.so3_eval(q4, np.float64(u))
-        p = so3np.rd_eval(p4, np.float64(u), 1.0 / self.cfg.knot_dt, 0)
-        return q, p
+        q, p, _, _ = self.poses_at(t_sec)
+        return q[0], p[0]
 
 
 def grid_coords(t_sec, dt):
@@ -142,15 +163,35 @@ def _smooth_knots(cfg: SimConfig, rng):
 
     ≙ the role of `genRandomTrajectory` (`so3_spline.h:160-177`) but smooth
     enough to look like handheld motion.
+
+    GT knots live at `gt_knot_dt` (default: the estimator's `knot_dt`, in
+    which case this is bit-identical to the historical generator). For a
+    finer GT grid the per-knot step std scales by sqrt(gdt/knot_dt) — a
+    random walk smoothed over a FIXED 5*knot_dt time window has velocity
+    variance sigma^2/(dt*tau), so sqrt(dt) scaling keeps the motion
+    spectrum magnitude family-comparable — and the smoothing kernel widens
+    to cover the same time window.
     """
-    n_knots = int(np.ceil(cfg.duration / cfg.knot_dt)) + 4
+    gdt = cfg.gt_knot_dt or cfg.knot_dt
+    scale = np.sqrt(gdt / cfg.knot_dt) * cfg.speed
+    n_knots = int(np.ceil(cfg.duration / gdt)) + 4
     # smooth increments by a moving average over the random walk steps
-    rot_steps = rng.normal(size=(n_knots, 3)) * cfg.rot_excite
-    pos_steps = rng.normal(size=(n_knots, 3)) * cfg.pos_excite
-    kernel = np.ones(5) / 5.0
+    rot_steps = rng.normal(size=(n_knots, 3)) * (cfg.rot_excite * scale)
+    pos_steps = rng.normal(size=(n_knots, 3)) * (cfg.pos_excite * scale)
+    klen = max(5, int(round(5 * cfg.knot_dt / gdt)))
+    klen += (klen + 1) % 2  # odd taps: symmetric 'same' convolution
+    kernel = np.ones(klen) / klen
+    # fine grids (gdt < knot_dt) get a SECOND pass (triangular kernel):
+    # a single MA only rolls off ~sinc and leaves violent >10 Hz
+    # accelerations a handheld trajectory never has; the GT must be
+    # out-of-basis, not un-physical
+    passes = 1 if gdt >= cfg.knot_dt else 2
     for k in range(3):
-        rot_steps[:, k] = np.convolve(rot_steps[:, k], kernel, mode="same")
-        pos_steps[:, k] = np.convolve(pos_steps[:, k], kernel, mode="same")
+        for _ in range(passes):
+            rot_steps[:, k] = np.convolve(rot_steps[:, k], kernel,
+                                          mode="same")
+            pos_steps[:, k] = np.convolve(pos_steps[:, k], kernel,
+                                          mode="same")
 
     from ctrlvio_tpu.ops import so3np
 
@@ -160,6 +201,44 @@ def _smooth_knots(cfg: SimConfig, rng):
         qs[i] = so3np.boxplus(qs[i - 1], rot_steps[i])
     ps = np.cumsum(pos_steps, axis=0)
     return qs, ps
+
+
+def _lissajous_fn(cfg: SimConfig):
+    """Analytic GT family: incommensurate-frequency sinusoids in position
+    and in the rotation vector — a C-infinity curve that is NOT an order-4
+    B-spline of any knot spacing (the anti-inverse-crime control).
+
+    Position/acceleration are closed-form; body angular velocity comes from
+    w_b = 2 vec(q* ⊗ dq/dt) with dq/dt by f64 central difference
+    (h=1e-5 s -> O(h^2) error ~1e-10 rad/s, far below sensor noise and the
+    estimator's own accuracy floor)."""
+    from ctrlvio_tpu.ops import so3np
+
+    sp = cfg.speed
+    rs = np.random.default_rng(cfg.seed + 7777)
+    ph = rs.uniform(0.0, 2 * np.pi, size=3)
+    ph_r = rs.uniform(0.0, 2 * np.pi, size=3)
+    A = np.array([1.2, 0.9, 0.5])                    # m
+    w = 2 * np.pi * np.array([0.23, 0.31, 0.19]) * sp
+    Ar = np.array([0.45, 0.30, 0.55])                # rad
+    wr = 2 * np.pi * np.array([0.29, 0.17, 0.37]) * sp
+
+    def theta(ts):
+        return Ar * np.sin(wr * ts[:, None] + ph_r)
+
+    def pose(ts):
+        ts = np.atleast_1d(np.asarray(ts, np.float64))
+        arg = w * ts[:, None] + ph
+        p = A * np.sin(arg)
+        acc = -A * (w ** 2) * np.sin(arg)
+        q = so3np.quat_exp(theta(ts))
+        h = 1e-5
+        dq = (so3np.quat_exp(theta(ts + h))
+              - so3np.quat_exp(theta(ts - h))) / (2 * h)
+        w_b = 2.0 * so3np.quat_mul(so3np.quat_conj(q), dq)[:, 1:]
+        return q, p, w_b, acc
+
+    return pose
 
 
 def _batched_pose(knots_q, knots_p, ts, dt):
@@ -189,16 +268,30 @@ def generate(cfg: SimConfig) -> SimData:
 
 def _generate_impl(cfg: SimConfig) -> SimData:
     rng = np.random.default_rng(cfg.seed)
-    knots_q, knots_p = _smooth_knots(cfg, rng)
-    dt = cfg.knot_dt
     g_vec = np.array([0.0, 0.0, cfg.gravity])
+    gdt = cfg.gt_knot_dt or cfg.knot_dt
+    if cfg.gt_family == "lissajous":
+        gt_pose = _lissajous_fn(cfg)
+        t_max = cfg.duration + 1.0
+        # coarse trajectory summary only (landmark placement, scene bounds)
+        tk = np.minimum(np.arange(
+            int(np.ceil(cfg.duration / cfg.knot_dt)) + 4,
+        ) * cfg.knot_dt, cfg.duration)
+        knots_q, knots_p = gt_pose(tk)[:2]
+    elif cfg.gt_family == "spline":
+        knots_q, knots_p = _smooth_knots(cfg, rng)
+        t_max = (len(knots_q) - 3) * gdt - 2e-3
+
+        def gt_pose(ts, _kq=knots_q, _kp=knots_p, _dt=gdt):
+            return _batched_pose(_kq, _kp, ts, _dt)
+    else:
+        raise ValueError(f"unknown gt_family {cfg.gt_family!r}")
 
     # --- IMU samples ---------------------------------------------------
-    t_max = (len(knots_q) - 3) * dt - 2e-3
     imu_ts = np.arange(0.0, min(cfg.duration, t_max), 1.0 / cfg.imu_rate)
     from ctrlvio_tpu.ops import so3np
 
-    q, p, w, acc = _batched_pose(knots_q, knots_p, imu_ts, dt)
+    q, p, w, acc = gt_pose(imu_ts)
     Rt = so3np.quat_to_matrix(q)  # body->world
     accel_body = np.einsum("nij,nj->ni", Rt.transpose(0, 2, 1), acc + g_vec)
 
@@ -231,7 +324,7 @@ def _generate_impl(cfg: SimConfig) -> SimData:
     frames = []
     frame_ts = np.arange(0.3, min(cfg.duration, t_max) - 0.1, 1.0 / cfg.cam_rate)
     def project_at(t_rows):
-        qf, pf, _, _ = _batched_pose(knots_q, knots_p, t_rows, dt)
+        qf, pf, _, _ = gt_pose(t_rows)
         Rf = so3np.quat_to_matrix(qf)  # IMU->world
         # world -> camera: X_c = R_CtoI^T (R_IW^T (X_w - p_I) - p_CinI)
         X_i = np.einsum("nij,nj->ni", Rf.transpose(0, 2, 1), lm - pf)
@@ -293,4 +386,5 @@ def _generate_impl(cfg: SimConfig) -> SimData:
         gravity_vec=g_vec,
         bg=bg,
         ba=ba,
+        gt_pose_fn=gt_pose,
     )

@@ -54,11 +54,11 @@ def capture_state(duration=6.0, warmup=10):
         return orig(st, blob, *a, **k)
 
     vio._megastep = capture
-    for fr in sim.frames:
+    for i, fr in enumerate(sim.frames):
         vio.process_frame(fr.t_ns, fr.ids, fr.pts, fr.rows)
-        if "blob" in grabbed and vio._dev_state is not None \
-                and len(grabbed) < 2:
-            grabbed["n"] = grabbed.get("n", 0)
+        if i % 10 == 0:
+            print(f"[capture] frame {i}/{len(sim.frames)}", file=sys.stderr,
+                  flush=True)
     vio.flush()
     assert "blob" in grabbed, "stream never dispatched"
     return vio, vio._dev_state, grabbed["blob"]
