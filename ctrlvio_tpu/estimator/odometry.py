@@ -72,6 +72,12 @@ class VIOConfig:
     # typically converge in 3-6 iterations
     ba_iters: int = 12
     ba_tol: float = 1e-5
+    # Schur solver for the BA/streaming path: "chol" (exact) or "cg"
+    # (fixed-iteration block-Jacobi PCG; see lm.schur_solve). Init and
+    # predict paths always use "chol" — they are accuracy-critical and
+    # off the hot loop.
+    solver: str = "chol"
+    cg_iters: int = 48
     predict_iters: int = 8
     init_ba_iters: int = 30
     dtype: type = np.float32
@@ -194,9 +200,10 @@ class CtrlVIO:
 
         self._ba_opts = SolveOptions(
             max_iters=cfg.ba_iters, fix_ld=cfg.fix_ld, ld_lower=cfg.ld_lower,
-            ld_upper=cfg.ld_upper, tol=cfg.ba_tol)
+            ld_upper=cfg.ld_upper, tol=cfg.ba_tol, solver=cfg.solver,
+            cg_iters=cfg.cg_iters)
         self._init_opts = self._ba_opts._replace(
-            max_iters=cfg.init_ba_iters, tol=0.0)
+            max_iters=cfg.init_ba_iters, tol=0.0, solver="chol")
         self._predict_opts = SolveOptions(
             max_iters=cfg.predict_iters, lock_bias=True, fix_ld=True)
 
@@ -1365,6 +1372,21 @@ class CtrlVIO:
         self.last_solve_stats = SimpleNamespace(
             cost0=s["cost0"], cost=s["cost"], accepted=s["accepted"],
             rms=s.get("rms"))  # per-type [image, imu, bias, prior]
+        ovf = np.asarray(s.get("marg_ovf", [0.0]))
+        if float(ovf.sum()) > 0:
+            # loud-failure policy (see packing.py): the marginalization
+            # subset exceeded its compacted caps — the overflowed factors
+            # were DROPPED from the prior (never mis-attributed).
+            import warnings
+
+            names = ["OBS", "IMU", "LM"]
+            what = ", ".join(f"{n}+{int(v)}" for n, v in zip(names, ovf)
+                             if v > 0)
+            warnings.warn(
+                f"marginalization subset overflowed its caps ({what}; "
+                f"marg_caps={marginalize.marg_caps(self.wc)}); the excess "
+                "factors were dropped from the prior — raise the matching "
+                "CTRLVIO_MARG_{OBS,IMU,LM}", RuntimeWarning, stacklevel=2)
         if self.cfg.debug_residual_summary and s.get("rms") is not None:
             import sys as _sys
 

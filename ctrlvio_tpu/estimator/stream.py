@@ -322,10 +322,11 @@ def megastep(state: DevState, blob, ext, gravity, imu_info, sqrt_info_img,
         # 211-213`, evaluated here against the CURRENT device state)
         img_m = img._replace(marg_drop=jnp.logical_and(
             img.marg_drop, p_out.dinv[img.lm_idx] > 1e-4))
-        prior_new = marginalize.build_prior_sqrt(
+        prior_new, ovf = marginalize.build_prior_sqrt(
             p_out, img_m, imu, bias, state.prior, drop_knots, ext, gravity,
             imu_info, sqrt_info_img, cfg, opts._replace(cauchy_c=1.0),
-            knot_shift=sc.knot_shift, bias_shift=jnp.asarray(1, jnp.int32))
+            knot_shift=sc.knot_shift, bias_shift=jnp.asarray(1, jnp.int32),
+            return_overflow=True)
         dinv_h = _depth_handoff(p_out, img, sc, ext, cfg)
         one = jnp.asarray(1, jnp.int32)
         new_params = p_out._replace(
@@ -334,17 +335,19 @@ def megastep(state: DevState, blob, ext, gravity, imu_info, sqrt_info_img,
             bg=_roll_clamp(p_out.bg, one),
             ba=_roll_clamp(p_out.ba, one),
             dinv=dinv_h)
-        return DevState(params=new_params, prior=prior_new), dinv_h
+        return (DevState(params=new_params, prior=prior_new), dinv_h,
+                ovf.astype(jnp.int32))
 
     def slide_second_new(_):
         nb = cfg.NB
         new_params = p_out._replace(
             bg=p_out.bg.at[nb - 2].set(p_out.bg[nb - 1]),
             ba=p_out.ba.at[nb - 2].set(p_out.ba[nb - 1]))
-        return DevState(params=new_params, prior=state.prior), p_out.dinv
+        return (DevState(params=new_params, prior=state.prior), p_out.dinv,
+                jnp.zeros((3,), jnp.int32))
 
-    state2, dinv_sum = jax.lax.cond(sc.marg_old, slide_old, slide_second_new,
-                                    None)
+    state2, dinv_sum, marg_ovf = jax.lax.cond(
+        sc.marg_old, slide_old, slide_second_new, None)
 
     # per-type residual RMS at the solution (≙ the reference's per-solve
     # ResidualSummary, `trajectory_estimator.cpp:69-95`): the streaming
@@ -363,12 +366,13 @@ def megastep(state: DevState, blob, ext, gravity, imu_info, sqrt_info_img,
         jnp.stack([stats.cost0, stats.cost,
                    stats.accepted.astype(dtype)]).astype(dtype),
         rms4.astype(dtype),
+        marg_ovf.astype(dtype),  # >0: marg subset overflowed [obs, imu, lm]
     ])
     return state2, summary
 
 
 def summary_size(cfg: WindowConfig) -> int:
-    return 7 * cfg.KW + 6 * cfg.NB + cfg.LM + 8
+    return 7 * cfg.KW + 6 * cfg.NB + cfg.LM + 11
 
 
 def unpack_summary(host: np.ndarray, cfg: WindowConfig):
@@ -387,4 +391,5 @@ def unpack_summary(host: np.ndarray, cfg: WindowConfig):
         bg=take(3 * NB, (NB, 3)), ba=take(3 * NB, (NB, 3)),
         dinv=take(LM), ld=float(take(1)[0]), cost0=float(take(1)[0]),
         cost=float(take(1)[0]), accepted=float(take(1)[0]),
-        rms=take(4))  # per-type residual RMS [image, imu, bias, prior]
+        rms=take(4),  # per-type residual RMS [image, imu, bias, prior]
+        marg_ovf=take(3))  # marg-cap overflow counts [obs, imu, lm]

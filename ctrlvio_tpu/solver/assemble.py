@@ -16,6 +16,7 @@ when rho'' <= 0, which is always the case for Cauchy (see the same logic in
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -261,7 +262,7 @@ def accumulate_normal_equations(params: WindowParams, img: ImageFactors,
                                 imu: ImuFactors, bias: BiasFactors,
                                 ext, gravity, imu_info, sqrt_info_img,
                                 cfg: WindowConfig, opts: SolveOptions,
-                                chunk: int = 128):
+                                chunk: int | None = None):
     """Normal equations built by CHUNKED accumulation — the VMEM-resident
     reformulation of `linearize` + `build_normal_equations`.
 
@@ -280,6 +281,16 @@ def accumulate_normal_equations(params: WindowParams, img: ImageFactors,
     constant across LM iterations and are hoisted out (see
     `lm.solve_window`). Cost here is the robustified factor cost only.
     """
+    if chunk is None:
+        # 0 = single-shot (no lax.scan): per-factor intermediates live in
+        # HBM for one big fused einsum each. Profiled at B=16 on v5e: the
+        # scan's carry copies of the (C,C)/(LM,C) accumulators dominate the
+        # whole LM loop (~115 of 195 ms/megastep), dwarfing any VMEM-
+        # residency win — latency-bound copies, not bandwidth, are the
+        # enemy at this problem size.
+        chunk = int(os.environ.get("CTRLVIO_NE_CHUNK", "0"))
+    if chunk <= 0:
+        chunk = max(cfg.OBS, cfg.MIMU)
     dtype = params.knots_p.dtype
     C, KW, NB, LM = cfg.C, cfg.KW, cfg.NB, cfg.LM
     kw_iota = jnp.arange(KW, dtype=jnp.int32)
@@ -340,8 +351,12 @@ def accumulate_normal_equations(params: WindowParams, img: ImageFactors,
         H_cl = H_cl + oh_lm.T @ W
         return (H, g, h_ll, g_l, H_cl, cost), None
 
-    (H, g, h_ll, g_l, H_cl, cost), _ = jax.lax.scan(
-        img_body, (H, g, h_ll, g_l, H_cl, cost), _chunk_tuple(img, Q))
+    if Q == cfg.OBS:
+        (H, g, h_ll, g_l, H_cl, cost), _ = img_body(
+            (H, g, h_ll, g_l, H_cl, cost), img)
+    else:
+        (H, g, h_ll, g_l, H_cl, cost), _ = jax.lax.scan(
+            img_body, (H, g, h_ll, g_l, H_cl, cost), _chunk_tuple(img, Q))
 
     # ---- IMU factors, chunked -------------------------------------------
     QM = min(chunk, cfg.MIMU)
@@ -366,8 +381,11 @@ def accumulate_normal_equations(params: WindowParams, img: ImageFactors,
         g = g + jnp.einsum("qrc,qr->c", rows, rw)
         return (H, g, cost), None
 
-    (H, g, cost), _ = jax.lax.scan(
-        imu_body, (H, g, cost), _chunk_tuple(imu, QM))
+    if QM == cfg.MIMU:
+        (H, g, cost), _ = imu_body((H, g, cost), imu)
+    else:
+        (H, g, cost), _ = jax.lax.scan(
+            imu_body, (H, g, cost), _chunk_tuple(imu, QM))
 
     # ---- bias pair factors (tiny, direct) --------------------------------
     rb = jax.vmap(F.bias_residual)(

@@ -142,6 +142,12 @@ class SolveOptions(NamedTuple):
     # less than tol (relative). 0 = always run max_iters (≙ Ceres'
     # function_tolerance, default 1e-6, `trajectory_estimator.cpp:379-383`)
     tol: float = 0.0
+    # per-path Schur solver: "chol" (exact blocked Cholesky — sync / init /
+    # predict paths) or "cg" (fixed-iteration block-Jacobi PCG — an option
+    # for the streaming megastep, where steps are incremental and the LM
+    # accept loop absorbs inexactness). Static (opts is a static jit arg).
+    solver: str = "chol"
+    cg_iters: int = 48
 
 
 def empty_params(cfg: WindowConfig, dtype=jnp.float32) -> WindowParams:

@@ -26,6 +26,8 @@ identity, so a subsequent window slide is just a column roll
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -144,12 +146,27 @@ def build_prior(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     return out
 
 
+def marg_caps(cfg: WindowConfig):
+    """Static capacity of the COMPACTED marginalization subset (obs rows,
+    IMU rows, landmark columns). The marg subset is a small fraction of the
+    window's factors — obs anchored at the departing frame, IMU samples in
+    the first keyframe interval, its landmarks — so the QR runs on a matrix
+    ~6x smaller than the full factor set (measured 30 -> ~7 ms/megastep at
+    B=16). Env-overridable; overflow is counted and surfaced loudly
+    (`build_prior_sqrt(return_overflow=True)` -> stream summary)."""
+    mobs = int(os.environ.get("CTRLVIO_MARG_OBS", "0")) or min(cfg.OBS, 384)
+    mimu = int(os.environ.get("CTRLVIO_MARG_IMU", "0")) or min(cfg.MIMU, 128)
+    mlm = int(os.environ.get("CTRLVIO_MARG_LM", "0")) or min(cfg.LM, 128)
+    return mobs, mimu, mlm
+
+
 @f32_matmuls
 def build_prior_sqrt(params: WindowParams, img: ImageFactors, imu: ImuFactors,
                      bias: BiasFactors, old_prior: PriorFactor, drop_knots,
                      ext, gravity, imu_info, sqrt_info_img,
                      cfg: WindowConfig, opts: SolveOptions,
-                     knot_shift=None, bias_shift=None) -> PriorFactor:
+                     knot_shift=None, bias_shift=None,
+                     return_overflow: bool = False) -> PriorFactor:
     """Square-root (QR) marginalization — the f32/TPU-safe formulation.
 
     The normal-equation build (`build_prior`) forms H = JᵀJ and Schur-
@@ -171,18 +188,67 @@ def build_prior_sqrt(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     with no host-side compaction.
     """
     dtype = params.knots_p.dtype
-    C, LM, OBS = cfg.C, cfg.LM, cfg.OBS
+    C, LM = cfg.C, cfg.LM
+    MOBS, MMIMU, MLM = marg_caps(cfg)
 
-    lin = assemble.linearize(params, img, imu, bias, old_prior, ext, gravity,
-                             imu_info, sqrt_info_img, cfg, opts, marg_mode=True)
+    # ---- compact the marg subset to its static caps -----------------------
+    # The marg-active factors (anchored obs / first-interval IMU) are a
+    # small, contiguous-in-spirit subset; a stable argsort-gather pulls them
+    # to the front so the QR below runs on (≈2k x ≈MLM+C) instead of the
+    # full (≈4k x LM+C) system — same R factor (inactive rows are zero, and
+    # eliminating an all-zero landmark column contributes nothing).
+    m_img = jnp.logical_and(img.valid, img.marg_drop)
+    m_imu = jnp.logical_and(imu.valid, imu.marg_drop)
+    n_img = jnp.sum(m_img.astype(jnp.int32))
+    n_imu = jnp.sum(m_imu.astype(jnp.int32))
+    ord_i = jnp.argsort(jnp.logical_not(m_img), stable=True)[:MOBS]
+    ord_m = jnp.argsort(jnp.logical_not(m_imu), stable=True)[:MMIMU]
+    img_c = ImageFactors(*(f[ord_i] for f in img))
+    imu_c = ImuFactors(*(f[ord_m] for f in imu))
+    cfg_m = cfg._replace(OBS=MOBS, MIMU=MMIMU)
+
+    lin = assemble.linearize(params, img_c, imu_c, bias, old_prior, ext,
+                             gravity, imu_info, sqrt_info_img, cfg_m, opts,
+                             marg_mode=True)
     R = lin.J.shape[0]
 
-    # landmark columns: J_lm (OBS, 2) scattered to (2*OBS, LM) dense columns
-    oh = (jnp.arange(LM, dtype=jnp.int32)[None, :]
-          == lin.lm_idx[:, None]).astype(dtype)          # (OBS, LM)
-    A_lm_img = (lin.J_lm[:, :, None] * oh[:, None, :]).reshape(2 * OBS, LM)
+    # landmark column compaction: slots with active marg rows, front-packed
+    act = jnp.logical_and(img_c.valid, img_c.marg_drop)
+    cnt = jnp.zeros((LM,), jnp.int32).at[img_c.lm_idx].add(
+        act.astype(jnp.int32))
+    has = cnt > 0
+    n_lm = jnp.sum(has.astype(jnp.int32))
+    perm_lm = jnp.argsort(jnp.logical_not(has), stable=True)[:MLM]
+    rank = jnp.zeros((LM,), jnp.int32).at[perm_lm].set(
+        jnp.arange(MLM, dtype=jnp.int32))
+    new_idx = rank[lin.lm_idx]  # inactive rows are zero in J_lm: collisions
+    #                             with a real compact slot contribute nothing
+
+    # overflow guard: an ACTIVE row whose landmark did not win a compact
+    # slot would alias into slot 0 (rank defaults to 0) and corrupt another
+    # landmark's column. Zero such rows entirely — the observation is
+    # DROPPED from the prior (matching the loud overflow warning), never
+    # mis-attributed.
+    sel = jnp.zeros((LM,), jnp.bool_).at[perm_lm].set(has[perm_lm])
+    row_ok = jnp.logical_or(jnp.logical_not(act),
+                            sel[img_c.lm_idx]).astype(dtype)  # (MOBS,)
+    lin = lin._replace(
+        J=lin.J.at[: 2 * MOBS].mul(
+            jnp.repeat(row_ok, 2)[:, None]),
+        r=lin.r.at[: 2 * MOBS].mul(jnp.repeat(row_ok, 2)))
+
+    # landmark columns: J_lm (MOBS, 2) scattered to (2*MOBS, MLM) columns
+    oh = (jnp.arange(MLM, dtype=jnp.int32)[None, :]
+          == new_idx[:, None]).astype(dtype) * row_ok[:, None]  # (MOBS, MLM)
+    A_lm_img = (lin.J_lm[:, :, None] * oh[:, None, :]).reshape(2 * MOBS, MLM)
     A_lm = jnp.concatenate(
-        [A_lm_img, jnp.zeros((R - 2 * OBS, LM), dtype=dtype)], axis=0)
+        [A_lm_img, jnp.zeros((R - 2 * MOBS, MLM), dtype=dtype)], axis=0)
+
+    # per-cap overflow counts [obs, imu, lm] — surfaced via the stream
+    # summary so the host warning can name the cap to raise
+    overflow = jnp.stack([jnp.maximum(n_img - MOBS, 0),
+                          jnp.maximum(n_imu - MMIMU, 0),
+                          jnp.maximum(n_lm - MLM, 0)])
 
     # column scaling (algebraically exact: scaling a variable commutes with
     # marginalizing it; kept columns are unscaled at the end)
@@ -202,7 +268,7 @@ def build_prior_sqrt(params: WindowParams, img: ImageFactors, imu: ImuFactors,
         A_lm / cs_lm[None, :],
         (lin.J / cs_c[None, :])[:, order],
         lin.r[:, None],
-    ], axis=1)                                            # (R, LM+C+1)
+    ], axis=1)                                            # (R, MLM+C+1)
 
     # Rank-deficiency guard: Householder QR without pivoting handles a zero
     # (or near-noise) pivot in the eliminated block by grabbing an arbitrary
@@ -214,23 +280,23 @@ def build_prior_sqrt(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     # coordinate (scaled units, so relative) — far below both dtypes' noise.
     eps = jnp.asarray(3e-4 if dtype == jnp.float32 else 1e-7, dtype)
     reg = jnp.concatenate([
-        eps * jnp.eye(LM + C, dtype=dtype),
-        jnp.zeros((LM + C, 1), dtype=dtype),
+        eps * jnp.eye(MLM + C, dtype=dtype),
+        jnp.zeros((MLM + C, 1), dtype=dtype),
     ], axis=1)
     A = jnp.concatenate([A, reg], axis=0)
-    Rq = jnp.linalg.qr(A, mode="r")                       # (LM+C+1, LM+C+1)
+    Rq = jnp.linalg.qr(A, mode="r")                       # (MLM+C+1, MLM+C+1)
 
     # marginal rows: strictly below the eliminated [landmarks | dropped]
-    # block. Row index >= LM always (landmarks all dropped), so rows
-    # [LM, LM+C) hold the (masked) C marginal rows.
-    d_tot = LM + jnp.sum(drop_c.astype(jnp.int32))
-    rows = Rq[LM : LM + C]
-    keep_row = (jnp.arange(LM, LM + C) >= d_tot)[:, None].astype(dtype)
+    # block. Row index >= MLM always (landmarks all dropped), so rows
+    # [MLM, MLM+C) hold the (masked) C marginal rows.
+    d_tot = MLM + jnp.sum(drop_c.astype(jnp.int32))
+    rows = Rq[MLM : MLM + C]
+    keep_row = (jnp.arange(MLM, MLM + C) >= d_tot)[:, None].astype(dtype)
     rows = rows * keep_row
 
-    J_perm = rows[:, LM : LM + C]
+    J_perm = rows[:, MLM : MLM + C]
     J_out = jnp.take(J_perm, inv_order, axis=1) * cs_c[None, :]
-    r_out = rows[:, LM + C]
+    r_out = rows[:, MLM + C]
 
     out = PriorFactor(
         J=J_out, r0=r_out,
@@ -239,6 +305,8 @@ def build_prior_sqrt(params: WindowParams, img: ImageFactors, imu: ImuFactors,
     )
     if knot_shift is not None:
         out = _roll_prior_traced(out, knot_shift, bias_shift, cfg)
+    if return_overflow:
+        return out, overflow
     return out
 
 
